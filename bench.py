@@ -1,0 +1,242 @@
+"""Headline benchmark: Moviescope 4-modal train-step throughput on TPU.
+
+Prints ONE JSON line:
+  {"metric": "samples_per_sec_per_chip", "value": N, "unit": "samples/s",
+   "vs_baseline": R}
+
+``vs_baseline`` is the ratio against the PyTorch-CPU reference throughput
+(BASELINE.md north star: >=5x).  The torch baseline is measured once on this
+host with a FLOP-equivalent torch model at the same config (BERT-base text
+encoder + the 12 crossmodal/biprojection encoder stacks + GMU fusion) and
+cached in ``baseline_torch_cpu.json``; pass --remeasure-baseline to redo it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "baseline_torch_cpu.json")
+
+# Bench config: Moviescope 4-modal (BASELINE.md config 4) at global batch 64.
+BATCH = 64
+BENCH_STEPS = 10
+WARMUP_STEPS = 3
+
+
+def bench_config():
+    from bpx.config import get_preset
+    import dataclasses
+    exp = get_preset("moviescope")
+    return exp.replace(data=dataclasses.replace(exp.data, batch_sz=BATCH))
+
+
+def _example_batch(exp, batch):
+    mc, dc = exp.model, exp.data
+    rng = np.random.RandomState(0)
+    L = dc.max_seq_len
+    return {
+        "txt": rng.randint(1, mc.bert.vocab_size, (batch, L)).astype(np.int32),
+        "mask": np.ones((batch, L), np.int32),
+        "segment": np.zeros((batch, L), np.int32),
+        "video": rng.randn(batch, dc.video_len, mc.orig_d_v).astype(np.float32),
+        "audio": rng.randn(batch, dc.audio_raw_len, mc.orig_d_a).astype(np.float32),
+        "poster": rng.randn(batch, mc.orig_d_p).astype(np.float32),
+        "target": (rng.rand(batch, mc.n_classes) > 0.5).astype(np.float32),
+    }
+
+
+def measure_tpu(exp) -> float:
+    import jax
+    import jax.numpy as jnp
+    from bpx.models import get_model
+    from bpx.train.losses import make_loss_fn
+    from bpx.train.optim import make_optimizer
+    from bpx.train.state import TrainState
+    from bpx.train.steps import make_train_step
+
+    model = get_model(exp.model)
+    host = _example_batch(exp, BATCH)
+    batch = {k: jnp.asarray(v[None]) for k, v in host.items()}  # accum=1
+    inputs = (batch["txt"][0], batch["mask"][0], batch["segment"][0],
+              batch["video"][0], batch["audio"][0], batch["poster"][0])
+    params = model.init({"params": jax.random.PRNGKey(0)}, *inputs)["params"]
+    tx = make_optimizer(1e-4)
+    state = TrainState.create(params, tx)
+    loss_fn = make_loss_fn("moviescope", "multilabel", False)
+    step = jax.jit(make_train_step(model, exp.model.model, loss_fn, tx,
+                                   grad_accum=1), donate_argnums=(0,))
+    rng = jax.random.PRNGKey(0)
+
+    for _ in range(WARMUP_STEPS):
+        state, metrics = step(state, batch, rng)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(BENCH_STEPS):
+        state, metrics = step(state, batch, rng)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    step_latency = dt / BENCH_STEPS
+    sys.stderr.write(f"p50-ish step latency: {step_latency*1000:.1f} ms\n")
+    return BATCH * BENCH_STEPS / dt
+
+
+def measure_torch_cpu_baseline(exp, batch: int = 2, steps: int = 2) -> float:
+    """FLOP-equivalent torch-CPU reference throughput (fwd+bwd+adam)."""
+    import torch
+    import torch.nn as nn
+
+    mc, dc = exp.model, exp.data
+    E, H, LYR = mc.hidden_sz, mc.num_heads, mc.layers
+
+    class Enc(nn.Module):
+        """One crossmodal encoder stack: per layer MHA + 4x FFN, pre-LN —
+        the reference encoder's cost shape (transformer.py:102-202)."""
+
+        def __init__(self, extra_attn=False):
+            super().__init__()
+            self.layers = nn.ModuleList()
+            self.extra = extra_attn
+            for _ in range(LYR):
+                self.layers.append(nn.ModuleDict({
+                    "attn": nn.MultiheadAttention(E, H, batch_first=True),
+                    "ln0": nn.LayerNorm(E), "ln1": nn.LayerNorm(E),
+                    "fc1": nn.Linear(E, 4 * E), "fc2": nn.Linear(4 * E, E),
+                }))
+
+        def forward(self, x, kv=None):
+            kv = x if kv is None else kv
+            for l in self.layers:
+                h = l["ln0"](x)
+                if self.extra:   # biprojection: extra self-attn sublayer
+                    s, _ = l["attn"](h, h, h, need_weights=False)
+                    x = x + s
+                    h = x
+                a, _ = l["attn"](h, l["ln0"](kv), l["ln0"](kv),
+                                 need_weights=False)
+                x = x + a
+                x = x + l["fc2"](torch.relu(l["fc1"](l["ln1"](x))))
+            return x
+
+    class Baseline(nn.Module):
+        def __init__(self):
+            super().__init__()
+            bcfg = mc.bert
+            bert_layer = nn.TransformerEncoderLayer(
+                bcfg.hidden_size, bcfg.num_heads, bcfg.intermediate_size,
+                batch_first=True, activation="gelu")
+            self.embed = nn.Embedding(bcfg.vocab_size, bcfg.hidden_size)
+            self.bert = nn.TransformerEncoder(bert_layer, bcfg.num_layers)
+            self.audio = nn.Sequential(
+                nn.Conv1d(mc.orig_d_a, mc.orig_d_a, 128, stride=2),
+                nn.Conv1d(mc.orig_d_a, mc.orig_d_a, 128, stride=2),
+                nn.AdaptiveAvgPool1d(mc.num_vectors_a))
+            self.proj_v = nn.Linear(mc.orig_d_v, E, bias=False)
+            self.proj_a = nn.Linear(mc.orig_d_a, E, bias=False)
+            self.proj_p = nn.Linear(mc.orig_d_p, E, bias=False)
+            self.first = nn.ModuleList([Enc() for _ in range(6)])
+            self.second = nn.ModuleList([Enc(extra_attn=True)
+                                         for _ in range(6)])
+            self.gmus = nn.ModuleList([
+                nn.Linear(2 * E, 3 * E, bias=False) for _ in range(6)])
+            self.final_gmu = nn.Linear(4 * E, 8 * E, bias=False)
+            self.head = nn.Sequential(nn.Linear(E, E), nn.ReLU(),
+                                      nn.Linear(E, E))
+            self.out = nn.Linear(E, mc.n_classes)
+
+        def forward(self, txt, video, audio, poster):
+            l = self.bert(self.embed(txt))
+            v = self.proj_v(video)
+            a = self.proj_a(self.audio(audio.transpose(1, 2)).transpose(1, 2))
+            p = self.proj_p(poster)
+            pad = lambda x, n: torch.nn.functional.pad(
+                x, (0, 0, 0, n - x.shape[1]))
+            l = pad(l, mc.num_vectors_l)
+            v = pad(v, mc.num_vectors_v)
+            a = pad(a, mc.num_vectors_a)
+            firsts = [self.first[0](v, a), self.first[1](a, v),
+                      self.first[2](v, l), self.first[3](l, v),
+                      self.first[4](a, l), self.first[5](l, a)]
+            seconds = [self.second[i % 6](x, firsts[i % 6])
+                       for i, x in enumerate([l, l, a, a, v, v])]
+            outs = []
+            for i, s in enumerate(seconds[:6:2]):
+                g = self.gmus[i](torch.cat([s, seconds[2 * i + 1]], -1))
+                outs.append(g[..., :E][:, 0] + g[..., :E][:, -1])
+            fused = self.final_gmu(torch.cat(outs + [p], -1))[:, :E]
+            return self.out(self.head(fused) + fused)
+
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count() or 1)
+    model = Baseline()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-4)
+    crit = nn.BCEWithLogitsLoss()
+    b = _example_batch(exp, batch)
+    txt = torch.tensor(b["txt"][:, :mc.num_vectors_l].astype(np.int64))
+    video = torch.tensor(b["video"])
+    audio = torch.tensor(b["audio"])
+    poster = torch.tensor(b["poster"])
+    tgt = torch.tensor(b["target"])
+
+    # warmup
+    loss = crit(model(txt, video, audio, poster), tgt)
+    loss.backward()
+    opt.step()
+    opt.zero_grad()
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        loss = crit(model(txt, video, audio, poster), tgt)
+        loss.backward()
+        opt.step()
+        opt.zero_grad()
+    dt = time.perf_counter() - t0
+    return batch * steps / dt
+
+
+def get_baseline(exp, remeasure: bool = False) -> float:
+    if not remeasure and os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["samples_per_sec"]
+    sys.stderr.write("measuring torch-CPU baseline...\n")
+    val = measure_torch_cpu_baseline(exp)
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"samples_per_sec": val,
+                   "config": "moviescope-4modal-flop-equivalent",
+                   "host_cpus": os.cpu_count()}, f, indent=2)
+    return val
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--remeasure-baseline", action="store_true")
+    parser.add_argument("--skip-baseline", action="store_true")
+    args = parser.parse_args()
+
+    exp = bench_config()
+    tpu_sps = measure_tpu(exp)
+    if args.skip_baseline:
+        baseline = None
+    else:
+        try:
+            baseline = get_baseline(exp, args.remeasure_baseline)
+        except Exception as e:  # baseline failure must not kill the bench
+            sys.stderr.write(f"baseline measurement failed: {e}\n")
+            baseline = None
+
+    result = {"metric": "samples_per_sec_per_chip",
+              "value": round(tpu_sps, 2),
+              "unit": "samples/s",
+              "vs_baseline": round(tpu_sps / baseline, 2) if baseline else None}
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,194 @@
+"""Loader factory + batch iteration + device prefetch
+(ref: data/helpers.py:140-294 ``get_data_loaders``).
+
+Differences from the reference, by design:
+* no ``args`` mutation — label/vocab metadata returns in a
+  :class:`DataMeta` record (the reference injects labels/vocab/n_classes
+  into the argparse namespace, helpers.py:152-163);
+* static-shape collate (see bpx.data.collate);
+* double-buffered background prefetch thread overlapping host batch
+  assembly with device compute (the reference forks 12 worker processes per
+  loader; on TPU hosts a thread + numpy is enough because feature files are
+  mmap-fast and tokenization is cheap).
+
+Cross-validation splits (ref: helpers.py:222-294): k-th 80/20 partition with
+10% of train held out as test, same arithmetic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+from collections import Counter
+from dataclasses import dataclass, field
+from typing import Any, Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from bpx.config import DataConfig, ModelConfig
+from bpx.data.collate import collate
+from bpx.data.dataset import JsonlDataset
+from bpx.data.synthetic import SyntheticDataset, synthetic_label_freqs
+from bpx.data.tokenization import build_tokenizer
+from bpx.data.vocab import Vocab
+
+
+@dataclass
+class DataMeta:
+    """Dataset metadata the reference smuggles through ``args``
+    (ref: helpers.py:152-163,175)."""
+    labels: List[Any]
+    label_freqs: Dict[Any, int]
+    n_classes: int
+    vocab: Vocab
+    vocab_sz: int
+    train_data_len: int = 0
+
+
+def get_labels_and_frequencies(path: str) -> Tuple[List[Any], Counter]:
+    """Scan train.jsonl for the label set + frequencies
+    (ref: helpers.py:33-50)."""
+    label_freqs = Counter()
+    with open(path) as f:
+        data_labels = [json.loads(line)["label"] for line in f]
+    if data_labels and isinstance(data_labels[0], list):
+        for row in data_labels:
+            label_freqs.update(row)
+    else:
+        label_freqs.update(data_labels)
+    return list(label_freqs.keys()), label_freqs
+
+
+class BatchIterator:
+    """Epoch iterator: shuffle, fixed batch size, optional drop_last, static
+    collate; ``prefetch`` batches assembled ahead on a worker thread."""
+
+    def __init__(self, dataset, data_cfg: DataConfig, model_cfg: ModelConfig,
+                 batch_size: int, shuffle: bool = False,
+                 drop_last: bool = False, seed: int = 0,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.data_cfg = data_cfg
+        self.model_cfg = model_cfg
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _index_order(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.RandomState(self.seed + self.epoch).shuffle(idx)
+        return idx
+
+    def _batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        idx = self._index_order()
+        n_full = len(idx) // self.batch_size
+        ends = n_full * self.batch_size
+        for i in range(n_full):
+            chunk = idx[i * self.batch_size:(i + 1) * self.batch_size]
+            items = [self.dataset[int(j)] for j in chunk]
+            yield collate(items, self.data_cfg, self.model_cfg)
+        if not self.drop_last and ends < len(idx):
+            # final partial batch padded to full size by wrapping (static
+            # shapes); callers use `valid` to mask padded rows.
+            chunk = list(idx[ends:])
+            valid = len(chunk)
+            while len(chunk) < self.batch_size:
+                chunk.append(idx[len(chunk) % max(ends, 1) if ends else 0])
+            items = [self.dataset[int(j)] for j in chunk]
+            batch = collate(items, self.data_cfg, self.model_cfg)
+            batch["valid"] = np.arange(self.batch_size) < valid
+            yield batch
+
+    def __iter__(self):
+        self.epoch += 1
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def worker():
+            try:
+                for batch in self._batches():
+                    q.put(batch)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+
+
+def get_data_loaders(data_cfg: DataConfig, model_cfg: ModelConfig,
+                     seed: int = 0,
+                     data_all: Optional[List[Dict]] = None,
+                     partition_index: Optional[int] = None
+                     ) -> Tuple[BatchIterator, BatchIterator, BatchIterator,
+                                DataMeta]:
+    """Build (train, val, test) iterators + metadata
+    (ref: helpers.py:140-294)."""
+    if data_cfg.task == "synthetic":
+        labels, freqs = synthetic_label_freqs(model_cfg.n_classes)
+        meta = DataMeta(labels=labels, label_freqs=dict(freqs),
+                        n_classes=model_cfg.n_classes,
+                        vocab=Vocab(), vocab_sz=model_cfg.bert.vocab_size)
+        mk = lambda split, n: SyntheticDataset(data_cfg, model_cfg,
+                                               length=n, split=split)
+        train = mk("train", data_cfg.synthetic_len)
+        dev = mk("dev", max(8, data_cfg.synthetic_len // 4))
+        test = mk("test", max(8, data_cfg.synthetic_len // 4))
+        meta.train_data_len = len(train)
+    else:
+        tokenizer, vocab = build_tokenizer(data_cfg.bert_vocab_path,
+                                           model_cfg.bert.vocab_size)
+        task_dir = os.path.join(data_cfg.data_path, data_cfg.task)
+        labels, freqs = get_labels_and_frequencies(
+            os.path.join(task_dir, "train.jsonl"))
+        meta = DataMeta(labels=labels, label_freqs=dict(freqs),
+                        n_classes=len(labels), vocab=vocab,
+                        vocab_sz=vocab.vocab_sz)
+
+        mk = lambda split, data_list=None: JsonlDataset(
+            os.path.join(task_dir, f"{split}.jsonl"), tokenizer, labels,
+            data_cfg, model_cfg, data_list)
+
+        if data_all is not None and partition_index is not None:
+            # k-fold cross-validation partition (ref: helpers.py:222-294)
+            dev_size = int(len(data_all) * 0.2)
+            k = partition_index
+            dev_start, dev_end = k * dev_size, (k + 1) * dev_size
+            train_data = data_all[:dev_start] + data_all[dev_end:]
+            dev_data = data_all[dev_start:dev_end]
+            test_size = int(len(train_data) * 0.1)
+            train = mk("train", train_data[test_size:])
+            dev = mk("dev", dev_data)
+            test = mk("test", train_data[:test_size])
+        else:
+            train = mk("train")
+            dev = mk("dev")
+            test = mk("test")
+        meta.train_data_len = len(train)
+
+    bs = data_cfg.batch_sz
+    it = lambda ds, shuffle, drop: BatchIterator(
+        ds, data_cfg, model_cfg, bs, shuffle=shuffle, drop_last=drop,
+        seed=seed, prefetch=2)
+    return (it(train, True, True), it(dev, False, False),
+            it(test, False, False), meta)

@@ -1,0 +1,23 @@
+"""Model registry (ref: models/__init__.py:6-14).
+
+The registry keeps the reference's public model names; ``get_model`` builds
+the flax module from a :class:`bpx.config.ModelConfig`.
+"""
+
+from __future__ import annotations
+
+from bpx.config import ModelConfig
+from bpx.models.bpmult import BPMulTVAPT, BPMulTVAT
+
+MODELS = {
+    "mmtrvapt": BPMulTVAPT,   # 4-input: video, audio, poster, text
+    "mmtrvat": BPMulTVAT,     # 3-input: video, audio, text
+}
+
+
+def get_model(config: ModelConfig):
+    """Build the configured model module (ref: models/__init__.py:12-14)."""
+    if config.model not in MODELS:
+        raise KeyError(
+            f"unknown model {config.model!r}; available: {sorted(MODELS)}")
+    return MODELS[config.model](config=config)

@@ -1,0 +1,217 @@
+"""Native Flax BERT text encoder.
+
+The reference delegates text encoding to HF's torch ``BertModel``
+(``bert-base-uncased``) and keeps the full last-layer hidden state sequence
+(ref: mmtr.py:144-158, train.py:34).  This is a from-scratch JAX/Flax BERT
+with the exact bert-base architecture (post-LN, GELU, learned absolute
+positions) so that:
+
+* it runs fully on-TPU inside the jitted train step (it is ~85% of the
+  model's FLOPs at L=512 — SURVEY.md §3.2);
+* HF torch checkpoints can be loaded directly via
+  :func:`load_hf_bert_params` when a local checkpoint exists (zero-egress
+  environments fall back to random init);
+* the hidden size/layers are config-driven, enabling the tiny test config.
+
+Numerics match HF BertModel: fp32 LayerNorm eps 1e-12, erf-GELU, softmax over
+additive ``-inf`` key-padding bias.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from bpx.config import BertConfig
+from bpx.ops.masks import key_padding_bias
+
+
+class BertSelfAttention(nn.Module):
+    config: BertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, bias, deterministic=True):
+        cfg = self.config
+        head_dim = cfg.hidden_size // cfg.num_heads
+        B, T, _ = hidden.shape
+        dense = lambda name: nn.Dense(cfg.hidden_size, dtype=self.dtype,
+                                      name=name)
+        q = dense("query")(hidden).reshape(B, T, cfg.num_heads, head_dim)
+        k = dense("key")(hidden).reshape(B, T, cfg.num_heads, head_dim)
+        v = dense("value")(hidden).reshape(B, T, cfg.num_heads, head_dim)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
+        if bias is not None:
+            scores = scores + bias.astype(jnp.float32)
+        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        if cfg.attention_dropout > 0 and not deterministic:
+            keep = jax.random.bernoulli(self.make_rng("dropout"),
+                                        1.0 - cfg.attention_dropout,
+                                        probs.shape)
+            probs = probs * keep.astype(probs.dtype) / (1.0 - cfg.attention_dropout)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        return ctx.reshape(B, T, cfg.hidden_size)
+
+
+class BertLayer(nn.Module):
+    """Post-LN transformer block (attn -> add&LN -> GELU FFN -> add&LN)."""
+
+    config: BertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, bias, deterministic=True):
+        cfg = self.config
+
+        def dropout(x):
+            if cfg.hidden_dropout <= 0 or deterministic:
+                return x
+            keep = jax.random.bernoulli(self.make_rng("dropout"),
+                                        1.0 - cfg.hidden_dropout, x.shape)
+            return x * keep.astype(x.dtype) / (1.0 - cfg.hidden_dropout)
+
+        attn_out = BertSelfAttention(cfg, self.dtype, name="attention")(
+            hidden, bias, deterministic)
+        attn_out = nn.Dense(cfg.hidden_size, dtype=self.dtype,
+                            name="attention_output")(attn_out)
+        hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                              name="attention_norm")(hidden + dropout(attn_out))
+
+        inter = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
+                         name="intermediate")(hidden)
+        inter = jax.nn.gelu(inter, approximate=False)
+        out = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output")(inter)
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                            name="output_norm")(hidden + dropout(out))
+
+
+class BertEncoder(nn.Module):
+    """Full BERT: embeddings + encoder stack; returns last hidden states.
+
+    (ref: mmtr.py:144-158 — the reference keeps ``encoded_layers``, the full
+    sequence of last-layer states, discarding the pooler output.)
+    """
+
+    config: BertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids: jax.Array, attention_mask: jax.Array,
+                 token_type_ids: Optional[jax.Array] = None,
+                 deterministic: bool = True) -> jax.Array:
+        cfg = self.config
+        B, T = input_ids.shape
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+
+        word = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
+                        name="word_embeddings")(input_ids)
+        pos_ids = jnp.arange(T, dtype=jnp.int32)[None, :]
+        pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
+                       dtype=self.dtype, name="position_embeddings")(pos_ids)
+        typ = nn.Embed(cfg.type_vocab_size, cfg.hidden_size, dtype=self.dtype,
+                       name="token_type_embeddings")(token_type_ids)
+        hidden = word + pos + typ
+        hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                              name="embeddings_norm")(hidden)
+        if cfg.hidden_dropout > 0 and not deterministic:
+            keep = jax.random.bernoulli(self.make_rng("dropout"),
+                                        1.0 - cfg.hidden_dropout, hidden.shape)
+            hidden = hidden * keep.astype(hidden.dtype) / (1.0 - cfg.hidden_dropout)
+
+        bias = key_padding_bias(attention_mask, jnp.float32)
+        for i in range(cfg.num_layers):
+            hidden = BertLayer(cfg, self.dtype, name=f"layer{i}")(
+                hidden, bias, deterministic)
+        return hidden
+
+
+# ---------------------------------------------------------------------------
+# HF torch checkpoint import
+# ---------------------------------------------------------------------------
+
+def load_hf_bert_params(state_dict, config: BertConfig):
+    """Convert an HF torch BertModel state_dict into this module's params.
+
+    Works with the ``bert-base-uncased`` layout (prefix ``bert.`` optional).
+    Only used when a local checkpoint is available — no network access.
+    """
+    import numpy as np
+
+    def get(name):
+        for key in (name, f"bert.{name}"):
+            if key in state_dict:
+                return np.asarray(state_dict[key].numpy()
+                                  if hasattr(state_dict[key], "numpy")
+                                  else state_dict[key])
+        raise KeyError(name)
+
+    def dense(prefix):
+        return {"kernel": get(f"{prefix}.weight").T,
+                "bias": get(f"{prefix}.bias")}
+
+    def norm(prefix):
+        return {"scale": get(f"{prefix}.weight"),
+                "bias": get(f"{prefix}.bias")}
+
+    params = {
+        "word_embeddings": {
+            "embedding": get("embeddings.word_embeddings.weight")},
+        "position_embeddings": {
+            "embedding": get("embeddings.position_embeddings.weight")},
+        "token_type_embeddings": {
+            "embedding": get("embeddings.token_type_embeddings.weight")},
+        "embeddings_norm": norm("embeddings.LayerNorm"),
+    }
+    for i in range(config.num_layers):
+        p = f"encoder.layer.{i}"
+        params[f"layer{i}"] = {
+            "attention": {
+                "query": dense(f"{p}.attention.self.query"),
+                "key": dense(f"{p}.attention.self.key"),
+                "value": dense(f"{p}.attention.self.value"),
+            },
+            "attention_output": dense(f"{p}.attention.output.dense"),
+            "attention_norm": norm(f"{p}.attention.output.LayerNorm"),
+            "intermediate": dense(f"{p}.intermediate.dense"),
+            "output": dense(f"{p}.output.dense"),
+            "output_norm": norm(f"{p}.output.LayerNorm"),
+        }
+    return jax.tree.map(jnp.asarray, params)
+
+
+def maybe_load_pretrained(params: dict, config: BertConfig,
+                          weights_path: Optional[str]) -> dict:
+    """Replace the 'bert' subtree of ``params`` with HF weights if available.
+
+    ``weights_path`` may be a ``pytorch_model.bin`` / ``model.safetensors``
+    file or a directory containing one.  Returns params unchanged when no
+    checkpoint is found (zero-egress fallback).
+    """
+    import os
+    if not weights_path:
+        return params
+    path = weights_path
+    if os.path.isdir(path):
+        for cand in ("model.safetensors", "pytorch_model.bin"):
+            p = os.path.join(path, cand)
+            if os.path.exists(p):
+                path = p
+                break
+    if not os.path.exists(path):
+        return params
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        state_dict = load_file(path)
+    else:
+        import torch
+        state_dict = torch.load(path, map_location="cpu")
+    new = dict(params)
+    new["bert"] = load_hf_bert_params(state_dict, config)
+    return new

@@ -1,0 +1,56 @@
+"""Device mesh construction over the ICI fabric.
+
+The reference's only parallelism is ``nn.DataParallel`` over <=2 GPUs in one
+process (ref: train.py:354-356) plus a SLURM task farm of independent jobs
+(ref: slurm:26-27).  TPU-native equivalent: an explicit
+``jax.sharding.Mesh`` with (data, fsdp, tensor) axes — batch-axis data
+parallelism reproduces DataParallel semantics with the gradient all-reduce
+riding ICI, and the fsdp/tensor axes scale beyond it (SURVEY.md §5.8).
+
+Multi-host: call :func:`initialize_distributed` before mesh creation; XLA
+then lays DCN on the outermost (data) axis automatically via
+``create_hybrid_device_mesh`` when more than one process is present.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh
+
+from bpx.config import MeshConfig
+
+
+def initialize_distributed(coordinator: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None):
+    """Multi-host bring-up (SLURM/TPU-pod); no-op on a single process."""
+    if num_processes and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+
+
+def make_mesh(config: MeshConfig = MeshConfig(),
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build the (data, fsdp, tensor) mesh; data=-1 absorbs the remainder."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    data, fsdp, tensor = config.data, config.fsdp, config.tensor
+    if data == -1:
+        assert n % (fsdp * tensor) == 0, \
+            f"{n} devices not divisible by fsdp*tensor={fsdp * tensor}"
+        data = n // (fsdp * tensor)
+    assert data * fsdp * tensor == n, \
+        f"mesh {data}x{fsdp}x{tensor} != {n} devices"
+    if jax.process_count() > 1:
+        mesh_devices = mesh_utils.create_hybrid_device_mesh(
+            (data // jax.process_count(), fsdp, tensor),
+            (jax.process_count(), 1, 1), devices=devices)
+    else:
+        mesh_devices = mesh_utils.create_device_mesh((data, fsdp, tensor),
+                                                     devices=devices)
+    return Mesh(mesh_devices, config.axis_names)

@@ -1,0 +1,79 @@
+"""NamedSharding rules for params and batches.
+
+Megatron-style tensor parallelism over the ``tensor`` axis, optional FSDP over
+``fsdp``, batch over ``data``:
+
+* "column-parallel" kernels (q/k/v projections, fc1/intermediate, GMU gate and
+  hidden projections) shard their *output* features on ``tensor`` — the
+  following contraction is local;
+* "row-parallel" kernels (attention out_proj, fc2/output) shard their *input*
+  features on ``tensor`` — XLA inserts the psum at the block boundary;
+* embeddings shard the vocab axis on ``fsdp``;
+* everything 1-D (biases, LayerNorms) replicates.
+
+With ``fsdp=1, tensor=1`` this degrades to pure data parallelism — the exact
+TPU equivalent of the reference's ``nn.DataParallel`` (ref: train.py:354-356),
+with the gradient all-reduce inserted by XLA over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# kernels whose OUTPUT features are sharded on the tensor axis
+_COLUMN_PARALLEL = ("q_proj", "k_proj", "v_proj", "query", "key", "value",
+                    "fc1", "intermediate", "x_gate", "x_gates", "hidden1",
+                    "hidden2", "hidden3", "hidden4", "hidden5")
+# kernels whose INPUT features are sharded on the tensor axis
+_ROW_PARALLEL = ("out_proj", "fc2", "attention_output", "output")
+
+
+def _spec_for(path: Tuple[str, ...], leaf) -> P:
+    names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+    last = names[-1] if names else ""
+    parent = names[-2] if len(names) >= 2 else ""
+    ndim = getattr(leaf, "ndim", len(getattr(leaf, "shape", ())))
+
+    if ndim <= 1:
+        return P()
+    if last == "embedding":
+        return P("fsdp", None)
+    if last == "kernel" and ndim == 2:
+        if any(key in parent for key in _COLUMN_PARALLEL):
+            return P("fsdp", "tensor")
+        if any(key in parent for key in _ROW_PARALLEL):
+            return P("tensor", "fsdp")
+        return P("fsdp", None)
+    if last == "kernel" and ndim == 3:     # conv (K, Cin, Cout)
+        return P(None, None, "tensor")
+    return P(*([None] * ndim))
+
+
+def param_shardings(params: Any, mesh: Mesh) -> Any:
+    """Pytree of NamedShardings mirroring ``params``."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _spec_for(path, leaf)), params)
+
+
+def batch_sharding(mesh: Mesh, batch_axis: int = 0) -> NamedSharding:
+    """Shard the batch axis over data (and fsdp, which also carries batch)."""
+    spec = [None] * (batch_axis + 1)
+    spec[batch_axis] = ("data", "fsdp")
+    return NamedSharding(mesh, P(*spec))
+
+
+def batch_shardings(batch: Any, mesh: Mesh, batch_axis: int = 0) -> Any:
+    sh = batch_sharding(mesh, batch_axis)
+    return jax.tree.map(lambda _: sh, batch)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """Place a param pytree onto the mesh per the rules."""
+    return jax.device_put(params, param_shardings(params, mesh))

@@ -1,0 +1,183 @@
+"""Jitted train / eval steps with microbatch gradient accumulation.
+
+The reference accumulates ``loss.backward()`` over
+``gradient_accumulation_steps`` python-loop iterations and steps the
+optimizer every k batches (ref: train.py:387-398).  TPU-native form: the
+train step receives a super-batch shaped ``(A, micro, ...)`` and runs a
+``lax.scan`` over the leading accumulation axis inside one compiled program —
+one optimizer update per super-batch, no host round-trips, grads averaged
+exactly like the reference's ``loss / accumulation_steps``.
+
+Steps are built against a mesh: params follow
+:func:`bpx.parallel.sharding.param_shardings`, batches shard their
+micro-batch axis over ``(data, fsdp)``.  XLA inserts the gradient
+all-reduce — the pjit equivalent of DataParallel's gather
+(ref: train.py:354-356).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bpx.config import ModelConfig
+from bpx.parallel.sharding import param_shardings, replicated
+from bpx.train.state import TrainState
+
+# Model input order (ref: model_forward unpack, train.py:283-321).
+_INPUT_KEYS = {
+    "mmtrvapt": ("txt", "mask", "segment", "video", "audio", "poster"),
+    "mmtrvat": ("txt", "mask", "segment", "video", "audio"),
+}
+
+
+def model_inputs(model_name: str, batch: Dict[str, jax.Array]):
+    return tuple(batch[k] for k in _INPUT_KEYS[model_name])
+
+
+def make_grad_mask(params, freeze_bert: bool):
+    """0/1 mask zeroing frozen subtrees (ref equivalent: freeze flags,
+    train.py:301-302 — computed but unused there; here they work)."""
+    if not freeze_bert:
+        return None
+    flat = jax.tree_util.tree_map_with_path(
+        lambda path, _: 0.0 if any(
+            getattr(p, "key", "") == "bert" for p in path) else 1.0,
+        params)
+    return flat
+
+
+def make_train_step(model, model_name: str, loss_fn: Callable,
+                    tx: optax.GradientTransformation,
+                    grad_accum: int = 1,
+                    freeze_bert: bool = False,
+                    donate: bool = True):
+    """Build the (unjitted) train step; wrap with jit/shardings via
+    :func:`jit_train_step`."""
+
+    def micro_loss(params, micro_batch, dropout_rng):
+        inputs = model_inputs(model_name, micro_batch)
+        logits = model.apply({"params": params}, *inputs,
+                             deterministic=False,
+                             rngs={"dropout": dropout_rng})
+        return loss_fn(logits, micro_batch["target"])
+
+    grad_fn = jax.value_and_grad(micro_loss)
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array],
+                   rng: jax.Array):
+        """batch leaves are shaped (A, micro, ...)."""
+        keys = jax.random.split(jax.random.fold_in(rng, state.step),
+                                grad_accum)
+
+        if grad_accum == 1:
+            micro = jax.tree.map(lambda x: x[0], batch)
+            loss, grads = grad_fn(state.params, micro, keys[0])
+        else:
+            def body(carry, inp):
+                grads_acc, loss_acc = carry
+                micro, key = inp
+                loss, grads = grad_fn(state.params, micro, key)
+                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                return (grads_acc, loss_acc + loss), None
+
+            zero_grads = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            (grads, loss_sum), _ = jax.lax.scan(
+                body, (zero_grads, jnp.zeros((), jnp.float32)),
+                (batch, keys))
+            inv = 1.0 / grad_accum
+            grads = jax.tree.map(lambda g: g * inv, grads)
+            loss = loss_sum * inv
+
+        mask = make_grad_mask(state.params, freeze_bert)
+        if mask is not None:
+            grads = jax.tree.map(jnp.multiply, grads, mask)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state)
+        grad_norm = optax.global_norm(grads)
+        return new_state, {"loss": loss, "grad_norm": grad_norm}
+
+    return train_step
+
+
+def make_eval_step(model, model_name: str, loss_fn: Callable,
+                   output_gates: bool = False):
+    """Eval step: loss + logits (+ GMU gates for the interpretability
+    channel, ref: train.py:168-193)."""
+
+    def eval_step(params, batch: Dict[str, jax.Array]):
+        inputs = model_inputs(model_name, batch)
+        if output_gates:
+            logits, gates = model.apply({"params": params}, *inputs,
+                                        deterministic=True,
+                                        output_gates=True)
+        else:
+            logits = model.apply({"params": params}, *inputs,
+                                 deterministic=True)
+            gates = None
+        loss = loss_fn(logits, batch["target"])
+        out = {"loss": loss, "logits": logits}
+        if gates is not None:
+            out["gates"] = gates
+        return out
+
+    return eval_step
+
+
+def place_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Place a TrainState onto the mesh: params (and the matching adam
+    moments) per the TP/FSDP rules, scalars replicated.  Once placed, a
+    plain ``jax.jit`` step propagates the shardings — XLA inserts the
+    collectives (scaling-book recipe: annotate inputs, let GSPMD work)."""
+    p_sh = param_shardings(state.params, mesh)
+    rep = replicated(mesh)
+    placed_params = jax.device_put(state.params, p_sh)
+    # Adam mu/nu inside the optimizer state mirror the param tree 1:1 and
+    # get the same shardings; scalar leaves (count, injected lr) replicate.
+    opt_placed = _place_opt_state(state.opt_state, p_sh, rep)
+    return state.replace(step=jax.device_put(state.step, rep),
+                         params=placed_params, opt_state=opt_placed)
+
+
+def _place_opt_state(opt_state, p_sh, rep):
+    """Place optimizer-state leaves: leaves whose subtree structure matches
+    the param tree get param shardings, scalars replicate."""
+    p_leaves, p_treedef = jax.tree_util.tree_flatten(p_sh)
+
+    def place(node):
+        try:
+            leaves, treedef = jax.tree_util.tree_flatten(node)
+            if treedef == p_treedef:
+                return jax.device_put(node, p_sh)
+        except Exception:
+            pass
+        return jax.device_put(node, rep)
+
+    # opt_state is a (possibly nested) tuple of states; handle two levels.
+    if isinstance(opt_state, tuple) and not hasattr(opt_state, "_fields"):
+        return tuple(_place_opt_state(s, p_sh, rep) for s in opt_state)
+    if hasattr(opt_state, "_fields"):   # NamedTuple state (e.g. ScaleByAdam)
+        placed = {}
+        for name in opt_state._fields:
+            placed[name] = place(getattr(opt_state, name))
+        return opt_state._replace(**placed)
+    return place(opt_state)
+
+
+def place_batch(batch, mesh: Mesh, has_accum_axis: bool):
+    """Shard the micro-batch axis over (data, fsdp)."""
+    axis = 1 if has_accum_axis else 0
+    def sh(leaf):
+        spec = [None] * leaf.ndim
+        spec[axis] = ("data", "fsdp")
+        return NamedSharding(mesh, P(*spec))
+    return jax.tree.map(lambda x: jax.device_put(x, sh(x)), batch)

@@ -1,0 +1,27 @@
+"""Test configuration: force JAX onto CPU with 8 virtual devices.
+
+This is the TPU-codebase equivalent of a fake distributed backend
+(SURVEY.md §4): multi-device mesh tests run on host CPU via
+``--xla_force_host_platform_device_count`` without real chips.
+Must run before the first ``import jax`` anywhere in the test process.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)

@@ -1,0 +1,73 @@
+"""Parity: native Flax BERT vs HF torch BertModel with shared weights.
+
+The reference's text encoder is HF ``BertModel`` (ref: mmtr.py:144-158); this
+test instantiates a small random HF torch BertModel locally (no download),
+imports its state_dict via ``load_hf_bert_params`` and checks last-hidden
+state parity, padding handling included.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import pytest
+
+from bpx.config import BertConfig
+from bpx.ops.bert import BertEncoder, load_hf_bert_params
+
+
+@pytest.fixture(scope="module")
+def hf_pair():
+    from transformers import BertConfig as HFBertConfig, BertModel
+
+    cfg = BertConfig(vocab_size=500, hidden_size=32, num_layers=2,
+                     num_heads=4, intermediate_size=64,
+                     max_position_embeddings=64)
+    hf_cfg = HFBertConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        intermediate_size=cfg.intermediate_size,
+        max_position_embeddings=cfg.max_position_embeddings,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    torch.manual_seed(0)
+    hf = BertModel(hf_cfg).eval()
+    return cfg, hf
+
+
+def test_bert_matches_hf(hf_pair):
+    cfg, hf = hf_pair
+    params = load_hf_bert_params(hf.state_dict(), cfg)
+
+    rng = np.random.RandomState(0)
+    B, T = 3, 17
+    ids = rng.randint(0, cfg.vocab_size, (B, T))
+    mask = np.ones((B, T), dtype=np.int64)
+    mask[0, 10:] = 0
+    mask[2, 5:] = 0
+    seg = np.zeros((B, T), dtype=np.int64)
+
+    with torch.no_grad():
+        oracle = hf(input_ids=torch.tensor(ids),
+                    attention_mask=torch.tensor(mask),
+                    token_type_ids=torch.tensor(seg)
+                    ).last_hidden_state.numpy()
+
+    enc = BertEncoder(cfg)
+    ours = enc.apply({"params": params}, jnp.asarray(ids),
+                     jnp.asarray(mask), jnp.asarray(seg))
+    np.testing.assert_allclose(np.asarray(ours), oracle, atol=3e-5)
+
+
+def test_bert_random_init_runs():
+    cfg = BertConfig.tiny()
+    enc = BertEncoder(cfg)
+    ids = jnp.zeros((2, 8), jnp.int32)
+    mask = jnp.ones((2, 8), jnp.int32)
+    variables = enc.init(jax.random.PRNGKey(0), ids, mask)
+    out = enc.apply(variables, ids, mask)
+    assert out.shape == (2, 8, cfg.hidden_size)
+    # dropout path
+    out2 = enc.apply(variables, ids, mask, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(1)})
+    assert out2.shape == out.shape

@@ -1,0 +1,113 @@
+"""Multi-device mesh tests on the 8-device virtual CPU backend
+(SURVEY.md §4: the fake-backend equivalent for TPU codebases).
+
+Covers: mesh construction, param sharding rules, DP gradient equivalence
+(sharded step == single-device step), TP execution, and the driver's
+dryrun_multichip path.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from bpx.config import MeshConfig
+from bpx.parallel.mesh import make_mesh
+from bpx.parallel.sharding import _spec_for, param_shardings
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(MeshConfig(data=-1, fsdp=1, tensor=1))
+    assert mesh.shape == {"data": 8, "fsdp": 1, "tensor": 1}
+    mesh2 = make_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
+    assert mesh2.shape == {"data": 2, "fsdp": 2, "tensor": 2}
+    with pytest.raises(AssertionError):
+        make_mesh(MeshConfig(data=3, fsdp=1, tensor=1))
+
+
+def test_sharding_rules():
+    class FakeKey:
+        def __init__(self, key):
+            self.key = key
+    leaf2 = np.zeros((4, 8))
+    assert _spec_for((FakeKey("fc1"), FakeKey("kernel")), leaf2) == \
+        P("fsdp", "tensor")
+    assert _spec_for((FakeKey("out_proj"), FakeKey("kernel")), leaf2) == \
+        P("tensor", "fsdp")
+    assert _spec_for((FakeKey("ln0"), FakeKey("scale")), np.zeros((8,))) == P()
+    assert _spec_for((FakeKey("word_embeddings"), FakeKey("embedding")),
+                     leaf2) == P("fsdp", None)
+
+
+@pytest.mark.slow
+def test_dp_matches_single_device():
+    """Data-parallel sharded train step must produce the same params as the
+    unsharded step (the DataParallel-parity property, ref: train.py:354-356)."""
+    from bpx.config import get_preset
+    from bpx.models import get_model
+    from bpx.train.losses import make_loss_fn
+    from bpx.train.optim import make_optimizer
+    from bpx.train.state import TrainState
+    from bpx.train.steps import make_train_step, place_batch, place_state
+
+    exp = get_preset("synthetic-tiny")
+    model = get_model(exp.model)
+    mc, dc = exp.model, exp.data
+    B = 8
+    rng = np.random.RandomState(0)
+    L = 16
+    batch = {
+        "txt": jnp.asarray(rng.randint(1, 100, (1, B, L)), jnp.int32),
+        "mask": jnp.ones((1, B, L), jnp.int32),
+        "segment": jnp.zeros((1, B, L), jnp.int32),
+        "video": jnp.asarray(rng.randn(1, B, dc.video_len, mc.orig_d_v)
+                             .astype(np.float32)),
+        "audio": jnp.asarray(rng.randn(1, B, dc.audio_raw_len, mc.orig_d_a)
+                             .astype(np.float32)),
+        "poster": jnp.asarray(rng.randn(1, B, mc.orig_d_p)
+                              .astype(np.float32)),
+        "target": jnp.asarray((rng.rand(1, B, mc.n_classes) > 0.5)
+                              .astype(np.float32)),
+    }
+    inputs = tuple(batch[k][0] for k in
+                   ("txt", "mask", "segment", "video", "audio", "poster"))
+    params = model.init({"params": jax.random.PRNGKey(0)}, *inputs)["params"]
+    tx = make_optimizer(1e-3)
+    loss_fn = make_loss_fn("synthetic", "multilabel", False)
+    step = make_train_step(model, mc.model, loss_fn, tx, grad_accum=1)
+
+    # single device
+    state1 = TrainState.create(params, tx)
+    state1, m1 = jax.jit(step)(state1, batch, jax.random.PRNGKey(7))
+
+    # 8-device DP
+    mesh = make_mesh(MeshConfig(data=-1, fsdp=1, tensor=1))
+    state8 = place_state(TrainState.create(params, tx), mesh)
+    sharded_batch = place_batch(batch, mesh, has_accum_axis=True)
+    state8, m8 = jax.jit(step)(state8, sharded_batch, jax.random.PRNGKey(7))
+
+    assert abs(float(m1["loss"]) - float(m8["loss"])) < 1e-5
+    l1 = jax.tree.leaves(state1.params)
+    l8 = jax.tree.leaves(state8.params)
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5)
+
+
+@pytest.mark.slow
+def test_graft_dryrun_multichip():
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_graft_entry_compiles():
+    import __graft_entry__
+    fn, args = __graft_entry__.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(np.asarray(out)).all()

@@ -1,0 +1,173 @@
+"""Parity tests: bpx TransformerEncoder(Layer) vs a torch oracle.
+
+The oracle implements the documented pre-LN dataflow of the reference
+(ref: transformer.py:102-216) independently in torch: self / cross /
+biprojection modes, shared LN0 on cross Q/KV, un-normalised biprojection
+query, shared attention weights between the biprojection sublayers, the
+``sqrt(E)``-scaled embedding with channel-0-keyed positions, and the final
+LayerNorm.  Weights are copied from the flax params into torch.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+import pytest
+
+from bpx.ops.encoder import TransformerEncoder, TransformerEncoderLayer
+
+
+def _t(x):
+    return torch.tensor(np.asarray(x, dtype=np.float32))
+
+
+class TorchOracleLayer:
+    """Pre-LN layer oracle with packed-MHA attention."""
+
+    def __init__(self, params, E, H, biprojection):
+        p = params
+        a = p["attn"]
+        self.in_w = torch.cat([_t(a["q_proj"]["kernel"]).T,
+                               _t(a["k_proj"]["kernel"]).T,
+                               _t(a["v_proj"]["kernel"]).T], dim=0)
+        self.in_b = torch.cat([_t(a["q_proj"]["bias"]),
+                               _t(a["k_proj"]["bias"]),
+                               _t(a["v_proj"]["bias"])])
+        self.out_w = _t(a["out_proj"]["kernel"]).T
+        self.out_b = _t(a["out_proj"]["bias"])
+        self.norms = []
+        n = 3 if biprojection else 2
+        for i in range(n):
+            self.norms.append((_t(p[f"ln{i}"]["scale"]), _t(p[f"ln{i}"]["bias"])))
+        self.fc1_w, self.fc1_b = _t(p["fc1"]["kernel"]).T, _t(p["fc1"]["bias"])
+        self.fc2_w, self.fc2_b = _t(p["fc2"]["kernel"]).T, _t(p["fc2"]["bias"])
+        self.E, self.H = E, H
+        self.biprojection = biprojection
+
+    def ln(self, i, x):
+        w, b = self.norms[i]
+        return F.layer_norm(x, (self.E,), w, b)
+
+    def mha(self, q, k, v, mask):
+        # batch-first -> seq-first for the torch functional
+        out, _ = F.multi_head_attention_forward(
+            q.transpose(0, 1), k.transpose(0, 1), v.transpose(0, 1),
+            self.E, self.H, self.in_w, self.in_b, None, None, False, 0.0,
+            self.out_w, self.out_b, training=False, need_weights=False,
+            attn_mask=mask)
+        return out.transpose(0, 1)
+
+    @staticmethod
+    def offset_mask(tq, tk):
+        return torch.triu(torch.full((tq, tk), float("-inf")), 1 + abs(tk - tq))
+
+    def forward(self, x, x_k=None, x_v=None, attn_mask=True):
+        Tq = x.shape[1]
+        if x_k is None:
+            mask = self.offset_mask(Tq, Tq) if attn_mask else None
+            h = self.ln(0, x)
+            x = x + self.mha(h, h, h, mask)
+            ffn_ln = 1
+        elif self.biprojection:
+            mask = self.offset_mask(Tq, Tq) if attn_mask else None
+            h = self.ln(0, x)
+            x = x + self.mha(h, h, h, mask)
+            mask = self.offset_mask(Tq, x_k.shape[1]) if attn_mask else None
+            k, v = self.ln(1, x_k), self.ln(1, x_v)
+            x = x + self.mha(x, k, v, mask)   # un-normalised query
+            ffn_ln = 2
+        else:
+            mask = self.offset_mask(Tq, x_k.shape[1]) if attn_mask else None
+            q, k, v = self.ln(0, x), self.ln(0, x_k), self.ln(0, x_v)
+            x = x + self.mha(q, k, v, mask)
+            ffn_ln = 1
+        h = self.ln(ffn_ln, x)
+        h = F.linear(F.relu(F.linear(h, self.fc1_w, self.fc1_b)),
+                     self.fc2_w, self.fc2_b)
+        return x + h
+
+
+def _run_layer(mode, attn_mask):
+    E, H, B = 32, 4, 2
+    Tq, Tk = 6, 9
+    rng = np.random.RandomState(0)
+    x = rng.randn(B, Tq, E).astype(np.float32)
+    xk = rng.randn(B, Tk, E).astype(np.float32)
+
+    bip = mode == "biproj"
+    layer = TransformerEncoderLayer(embed_dim=E, num_heads=H,
+                                    attn_mask=attn_mask, biprojection=bip)
+    if mode == "self":
+        variables = layer.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        ours = layer.apply(variables, jnp.asarray(x))
+    else:
+        variables = layer.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                               jnp.asarray(xk), jnp.asarray(xk))
+        ours = layer.apply(variables, jnp.asarray(x), jnp.asarray(xk),
+                           jnp.asarray(xk))
+
+    oracle = TorchOracleLayer(variables["params"], E, H, bip)
+    if mode == "self":
+        ref = oracle.forward(_t(x), attn_mask=attn_mask)
+    else:
+        ref = oracle.forward(_t(x), _t(xk), _t(xk), attn_mask=attn_mask)
+    np.testing.assert_allclose(np.asarray(ours), ref.detach().numpy(),
+                               atol=3e-5)
+
+
+@pytest.mark.parametrize("mode", ["self", "cross", "biproj"])
+@pytest.mark.parametrize("attn_mask", [False, True])
+def test_layer_matches_oracle(mode, attn_mask):
+    _run_layer(mode, attn_mask)
+
+
+def test_biprojection_shares_attention_weights():
+    """Both biprojection sublayers must use the same attention params
+    (ref: transformer.py:161,169 call self.self_attn twice)."""
+    E, H = 16, 2
+    layer = TransformerEncoderLayer(embed_dim=E, num_heads=H,
+                                    biprojection=True)
+    x = jnp.zeros((1, 4, E))
+    variables = layer.init(jax.random.PRNGKey(0), x, x, x)
+    # exactly one attention parameter subtree
+    assert "attn" in variables["params"]
+    n_attn = sum(1 for k in variables["params"] if k.startswith("attn"))
+    assert n_attn == 1
+
+
+def test_stack_matches_oracle():
+    """Full encoder: scale + positions + layers + final LN
+    (ref: transformer.py:52-93)."""
+    import math
+    from bpx.ops.positions import positional_embedding
+
+    E, H, B, Tq, Tk, L = 32, 4, 2, 6, 9, 2
+    rng = np.random.RandomState(1)
+    x = rng.randn(B, Tq, E).astype(np.float32)
+    xk = rng.randn(B, Tk, E).astype(np.float32)
+
+    enc = TransformerEncoder(embed_dim=E, num_heads=H, layers=L,
+                             attn_mask=True, biprojection=False)
+    variables = enc.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                         jnp.asarray(xk), jnp.asarray(xk))
+    ours = enc.apply(variables, jnp.asarray(x), jnp.asarray(xk),
+                     jnp.asarray(xk))
+
+    # Oracle: embed, run layer oracles, final LN.
+    def embed(arr):
+        scaled = math.sqrt(E) * arr
+        pe = np.asarray(positional_embedding(arr.astype(np.float32)))
+        return _t(scaled + pe)
+
+    h = embed(x)
+    hk = embed(xk)
+    for i in range(L):
+        p = variables["params"][f"layer{i}"]
+        h = TorchOracleLayer(p, E, H, False).forward(h, hk, hk,
+                                                     attn_mask=True)
+    fw = _t(variables["params"]["final_norm"]["scale"])
+    fb = _t(variables["params"]["final_norm"]["bias"])
+    ref = F.layer_norm(h, (E,), fw, fb)
+    np.testing.assert_allclose(np.asarray(ours), ref.detach().numpy(),
+                               atol=5e-5)
