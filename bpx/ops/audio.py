@@ -61,6 +61,13 @@ class AudioEncoder(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         """x: (B, T, C) -> (B, pool_target, C)."""
+        t = x.shape[1]
+        min_t = self.kernel_size + self.stride * (self.kernel_size - 1) + 1
+        if t < min_t:
+            raise ValueError(
+                f"audio stream of {t} frames is too short for two "
+                f"Conv1d(k={self.kernel_size}, s={self.stride}) layers; "
+                f"need >= {min_t} (set data.audio_raw_len accordingly)")
         for i in range(2):
             x = nn.Conv(features=self.channels,
                         kernel_size=(self.kernel_size,),

@@ -1,0 +1,310 @@
+"""Flash attention TPU kernels (Pallas) with the fused offset band mask.
+
+Implements the reference's exact attention semantics
+(ref: multihead_attention.py:110-126 — q pre-scaled, fp32 softmax;
+ref: transformer.py:209-216 — rectangular offset future-mask
+``col <= row + |Tk - Tq|``) as FlashAttention-2 style tiled kernels:
+
+* forward: online-softmax over key blocks, band applied analytically per
+  tile (the (Tq, Tk) mask matrix is never materialised), saves the
+  logsumexp for the backward;
+* backward: two kernels — dQ (grid over Q blocks, scan over K blocks) and
+  dK/dV (grid over K blocks, scan over Q blocks) — recomputing P from the
+  saved logsumexp; fp32 accumulation throughout.
+
+Banded skipping: key blocks entirely above the band are skipped, so the
+square-masked case does ~half the work — the standard causal-flash win,
+generalised to the rectangular offset band.
+
+Layout contract: inputs are (B, T, H, D) with **q already scaled** by
+``head_dim**-0.5`` (matching bpx.ops.attention).  The dispatcher pads T and
+D to 128-multiples and masks padded keys analytically with the real
+``kv_len``; padded q rows/D-channels are sliced off on return.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_Q = 128
+BLOCK_K = 128
+NEG_INF = -1e30
+
+
+
+def _interpret() -> bool:
+    """Interpret mode off-TPU (CPU tests); compiled on real TPUs."""
+    import jax
+    return jax.default_backend() != "tpu"
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                kv_len: int, offset: int, masked: bool, blocks_k: int):
+    """One (batch*head, q-block) program: online softmax over key blocks."""
+    qi = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32)                    # (BQ, D)
+    bq, d = q.shape
+
+    row = qi * BLOCK_Q + jax.lax.broadcasted_iota(jnp.int32, (bq, BLOCK_K), 0)
+
+    def body(kj, carry):
+        acc, m_prev, l_prev = carry
+        k_blk = k_ref[0, pl.ds(kj * BLOCK_K, BLOCK_K), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(kj * BLOCK_K, BLOCK_K), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        col = kj * BLOCK_K + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, BLOCK_K), 1)
+        ok = col < kv_len
+        if masked:
+            ok = jnp.logical_and(ok, col <= row + offset)
+        s = jnp.where(ok, s, NEG_INF)
+
+        m_cur = jnp.max(s, axis=1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new[:, None])
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=1)
+        acc = acc * alpha[:, None] + jax.lax.dot_general(
+            p, v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq,), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq,), jnp.float32)
+
+    if masked:
+        # skip key blocks whose first column is above the band for every
+        # row of this q block: kj*BK > (qi+1)*BQ - 1 + offset
+        hi = jnp.minimum(
+            (((qi + 1) * BLOCK_Q - 1 + offset) // BLOCK_K) + 1, blocks_k)
+        acc, m, l = jax.lax.fori_loop(0, hi, body, (acc0, m0, l0))
+    else:
+        acc, m, l = jax.lax.fori_loop(0, blocks_k, body, (acc0, m0, l0))
+
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0] = (acc / l_safe[:, None]).astype(o_ref.dtype)
+    # stats live as (8, BQ) sublane-replicated rows — TPU blocks need the
+    # last two dims tileable to (8, 128)
+    lse = (m + jnp.log(l_safe)).astype(jnp.float32)
+    lse_ref[0] = jnp.broadcast_to(lse[None, :], (8, lse.shape[0]))
+
+
+def _fwd(q, k, v, masked: bool, kv_len: int, offset: int):
+    bh, tq, d = q.shape
+    tk = k.shape[1]
+    blocks_q = tq // BLOCK_Q
+    blocks_k = tk // BLOCK_K
+
+    kernel = functools.partial(_fwd_kernel, kv_len=kv_len, offset=offset,
+                               masked=masked, blocks_k=blocks_k)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(bh, blocks_q),
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, tk, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, tk, d), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, 8, BLOCK_Q), lambda b, i: (b, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, 8, tq), jnp.float32),
+        ],
+        interpret=_interpret())(q, k, v)
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                   *, kv_len: int, offset: int, masked: bool, blocks_k: int):
+    qi = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0]
+    delta = delta_ref[0, 0]
+    bq, d = q.shape
+    row = qi * BLOCK_Q + jax.lax.broadcasted_iota(jnp.int32, (bq, BLOCK_K), 0)
+
+    def body(kj, dq):
+        k_blk = k_ref[0, pl.ds(kj * BLOCK_K, BLOCK_K), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(kj * BLOCK_K, BLOCK_K), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        col = kj * BLOCK_K + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, BLOCK_K), 1)
+        ok = col < kv_len
+        if masked:
+            ok = jnp.logical_and(ok, col <= row + offset)
+        p = jnp.where(ok, jnp.exp(s - lse[:, None]), 0.0)
+        dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None])
+        return dq + jax.lax.dot_general(ds, k_blk, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+
+    dq0 = jnp.zeros((bq, d), jnp.float32)
+    if masked:
+        hi = jnp.minimum(
+            (((qi + 1) * BLOCK_Q - 1 + offset) // BLOCK_K) + 1, blocks_k)
+        dq = jax.lax.fori_loop(0, hi, body, dq0)
+    else:
+        dq = jax.lax.fori_loop(0, blocks_k, body, dq0)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, *,
+                    kv_len: int, offset: int, masked: bool, blocks_q: int):
+    kj = pl.program_id(1)
+    k_blk = k_ref[0].astype(jnp.float32)                 # (BK, D)
+    v_blk = v_ref[0].astype(jnp.float32)
+    bk, d = k_blk.shape
+    col = kj * BLOCK_K + jax.lax.broadcasted_iota(jnp.int32, (BLOCK_Q, bk), 1)
+
+    def body(qi, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(qi * BLOCK_Q, BLOCK_Q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(qi * BLOCK_Q, BLOCK_Q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(qi * BLOCK_Q, BLOCK_Q)]
+        delta = delta_ref[0, 0, pl.ds(qi * BLOCK_Q, BLOCK_Q)]
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        row = qi * BLOCK_Q + jax.lax.broadcasted_iota(
+            jnp.int32, (BLOCK_Q, bk), 0)
+        ok = col < kv_len
+        if masked:
+            ok = jnp.logical_and(ok, col <= row + offset)
+        p = jnp.where(ok, jnp.exp(s - lse[:, None]), 0.0)
+        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None])
+        dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        return dk, dv
+
+    dk0 = jnp.zeros((bk, d), jnp.float32)
+    dv0 = jnp.zeros((bk, d), jnp.float32)
+    if masked:
+        # q blocks whose last row is below the band start: rows with
+        # row + offset >= kj*BK exist iff (qi+1)*BQ - 1 >= kj*BK - offset
+        lo = jnp.maximum((kj * BLOCK_K - offset) // BLOCK_Q, 0)
+        dk, dv = jax.lax.fori_loop(lo, blocks_q, body, (dk0, dv0))
+    else:
+        dk, dv = jax.lax.fori_loop(0, blocks_q, body, (dk0, dv0))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd(masked, kv_len, offset, res, g):
+    q, k, v, out, lse = res
+    bh, tq, d = q.shape
+    tk = k.shape[1]
+    blocks_q = tq // BLOCK_Q
+    blocks_k = tk // BLOCK_K
+
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    delta = jnp.broadcast_to(delta[:, None, :], (bh, 8, tq))
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, kv_len=kv_len, offset=offset,
+                          masked=masked, blocks_k=blocks_k),
+        grid=(bh, blocks_q),
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, tk, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, tk, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, 8, BLOCK_Q), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, 8, BLOCK_Q), lambda b, i: (b, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+        interpret=_interpret())(q, k, v, g, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, kv_len=kv_len, offset=offset,
+                          masked=masked, blocks_q=blocks_q),
+        grid=(bh, blocks_k),
+        in_specs=[
+            pl.BlockSpec((1, tq, d), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, BLOCK_K, d), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, BLOCK_K, d), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, tq, d), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, 8, tq), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, 8, tq), lambda b, j: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BLOCK_K, d), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, BLOCK_K, d), lambda b, j: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, tk, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, tk, d), v.dtype),
+        ],
+        interpret=_interpret())(q, k, v, g, lse, delta)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash(q, k, v, masked: bool, kv_len: int, offset: int):
+    out, _ = _fwd(q, k, v, masked, kv_len, offset)
+    return out
+
+
+def _flash_fwd(q, k, v, masked, kv_len, offset):
+    out, lse = _fwd(q, k, v, masked, kv_len, offset)
+    return out, (q, k, v, out, lse)
+
+
+_flash.defvjp(_flash_fwd, _bwd)
+
+
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    masked: bool = True) -> jax.Array:
+    """(B, Tq, H, D) x (B, Tk, H, D) -> (B, Tq, H, D); q pre-scaled.
+
+    ``masked=True`` applies the offset band ``col <= row + |Tk - Tq|``
+    computed from the *unpadded* lengths (ref: transformer.py:213).
+    """
+    B, Tq, H, D = q.shape
+    Tk = k.shape[1]
+    offset = abs(Tk - Tq)
+
+    tq_p, tk_p, d_p = (_round_up(Tq, BLOCK_Q), _round_up(Tk, BLOCK_K),
+                       _round_up(D, 128))
+
+    def prep(x, t_p):
+        x = jnp.swapaxes(x, 1, 2).reshape(B * H, x.shape[1], D)
+        return jnp.pad(x, ((0, 0), (0, t_p - x.shape[1]), (0, d_p - D)))
+
+    qf, kf, vf = prep(q, tq_p), prep(k, tk_p), prep(v, tk_p)
+    out = _flash(qf, kf, vf, masked, Tk, offset)
+    out = out[:, :Tq, :D].reshape(B, H, Tq, D)
+    return jnp.swapaxes(out, 1, 2)

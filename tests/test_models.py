@@ -41,7 +41,7 @@ def _vapt_batch(cfg, B=2, seed=0):
             jnp.ones((B, L), jnp.int32),
             jnp.zeros((B, L), jnp.int32),
             jnp.asarray(rng.randn(B, 8, cfg.orig_d_v).astype(np.float32)),
-            jnp.asarray(rng.randn(B, 300, cfg.orig_d_a).astype(np.float32)),
+            jnp.asarray(rng.randn(B, 576, cfg.orig_d_a).astype(np.float32)),
             jnp.asarray(rng.randn(B, cfg.orig_d_p).astype(np.float32)))
 
 
@@ -133,7 +133,7 @@ def test_stream_too_long_raises():
     batch = (jnp.asarray(rng.randint(1, 200, (B, L))),
              jnp.ones((B, L), jnp.int32), jnp.zeros((B, L), jnp.int32),
              jnp.asarray(rng.randn(B, 8, cfg.orig_d_v).astype(np.float32)),
-             jnp.asarray(rng.randn(B, 300, cfg.orig_d_a).astype(np.float32)),
+             jnp.asarray(rng.randn(B, 576, cfg.orig_d_a).astype(np.float32)),
              jnp.asarray(rng.randn(B, cfg.orig_d_p).astype(np.float32)))
     with pytest.raises(ValueError, match="exceeds"):
         m.init({"params": jax.random.PRNGKey(0)}, *batch)
@@ -159,4 +159,4 @@ def test_jit_forward():
     out = fwd(variables, *batch)
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(m.apply(variables, *batch)),
-                               atol=1e-6)
+                               atol=1e-5)
