@@ -47,7 +47,9 @@ def get_args(parser: argparse.ArgumentParser):
     parser.add_argument("--max_epochs", type=int, default=100)
     parser.add_argument("--max_seq_len", type=int, default=512)
     parser.add_argument("--model", type=str, default="mmtrvapt",
-                        choices=["mmtrvat", "mmtrvapt"])
+                        choices=["mmtrvat", "mmtrvapt",
+                                 # notebook-era models (SURVEY.md C30)
+                                 "mmtrvpa", "tmmtrvpa", "gmu", "gmu_bi"])
     parser.add_argument("--n_workers", type=int, default=4)
     parser.add_argument("--name", type=str, default="nameless")
     parser.add_argument("--visual", type=str, default="both",

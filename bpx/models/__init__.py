@@ -8,10 +8,20 @@ from __future__ import annotations
 
 from bpx.config import ModelConfig
 from bpx.models.bpmult import BPMulTVAPT, BPMulTVAT
+from bpx.models.legacy import (GMUBimodalClf, GMUClf, MulTGMUClf,
+                               TranslatingMMTGMUClf)
 
 MODELS = {
+    # the two registered reference models (ref: models/__init__.py:8-10)
     "mmtrvapt": BPMulTVAPT,   # 4-input: video, audio, poster, text
     "mmtrvat": BPMulTVAT,     # 3-input: video, audio, text
+    # earlier-generation models from the demo notebooks (SURVEY.md C30;
+    # the reference registry's comment trail of superseded names,
+    # models/__init__.py:7)
+    "mmtrvpa": MulTGMUClf,            # MulT + GMU late fusion
+    "tmmtrvpa": TranslatingMMTGMUClf,  # Translating MMT + GMU
+    "gmu": GMUClf,                     # simple trimodal GMU classifier
+    "gmu_bi": GMUBimodalClf,           # bimodal text+video GMU classifier
 }
 
 

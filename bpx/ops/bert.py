@@ -100,6 +100,7 @@ class BertEncoder(nn.Module):
 
     config: BertConfig
     dtype: jnp.dtype = jnp.float32
+    with_pooler: bool = False   # tanh(W h[CLS]) second output (HF pooler)
 
     @nn.compact
     def __call__(self, input_ids: jax.Array, attention_mask: jax.Array,
@@ -129,6 +130,12 @@ class BertEncoder(nn.Module):
         for i in range(cfg.num_layers):
             hidden = BertLayer(cfg, self.dtype, name=f"layer{i}")(
                 hidden, bias, deterministic)
+        if self.with_pooler:
+            # HF pooler: tanh(W h[:, 0]) — the [CLS] summary the notebook
+            # GMU classifiers consume (ref: DEMO_GMUs cell 56 x_l_cls).
+            pooled = jnp.tanh(nn.Dense(cfg.hidden_size, dtype=self.dtype,
+                                       name="pooler")(hidden[:, 0]))
+            return hidden, pooled
         return hidden
 
 

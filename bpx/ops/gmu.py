@@ -108,3 +108,53 @@ class GatedNModalLayer(nn.Module):
         zs = jnp.split(z, self.n_inputs, axis=-1)
         fused = sum(z_i * h_i for z_i, h_i in zip(zs, hs))
         return fused, z
+
+
+class GatedHierarchicalLayer(nn.Module):
+    """3-input hierarchical GMU: ``z1*h1 + (1-z1)*z2*h2 + (1-z1)*(1-z2)*h3``
+    with two gates (ref: DEMO_GMUs notebook cell 52 ``GMU_3D_hierarchical``)."""
+
+    size_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2, x3) -> Tuple[jax.Array, jax.Array]:
+        h1 = jnp.tanh(_dense(self.size_out, "hidden1", self.dtype)(x1))
+        h2 = jnp.tanh(_dense(self.size_out, "hidden2", self.dtype)(x2))
+        h3 = jnp.tanh(_dense(self.size_out, "hidden3", self.dtype)(x3))
+        x_cat = jnp.concatenate([x1, x2, x3], axis=-1)
+        z1 = jax.nn.sigmoid(_dense(self.size_out, "x1_gate", self.dtype)(x_cat))
+        z2 = jax.nn.sigmoid(_dense(self.size_out, "x2_gate", self.dtype)(x_cat))
+        fused = z1 * h1 + (1 - z1) * z2 * h2 + (1 - z1) * (1 - z2) * h3
+        gates = jnp.concatenate([z1, (1 - z1) * z2, (1 - z1) * (1 - z2)],
+                                axis=-1)
+        return fused, gates
+
+
+class GatedSoftmaxLayer(nn.Module):
+    """3-input softmax-normalised GMU (ref: DEMO_GMUs notebook cell 54
+    ``GMU_3D_softmax``): per-feature softmax over the three modalities.
+
+    Divergence: the notebook's committed forward stacks ``x1`` three times
+    into the gate input (an evident typo); this implements the intended
+    per-modality stack (x1, x2, x3).
+    """
+
+    size_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2, x3) -> Tuple[jax.Array, jax.Array]:
+        h1 = jnp.tanh(_dense(self.size_out, "hidden1", self.dtype)(x1))
+        h2 = jnp.tanh(_dense(self.size_out, "hidden2", self.dtype)(x2))
+        h3 = jnp.tanh(_dense(self.size_out, "hidden3", self.dtype)(x3))
+        xs_t = []
+        for i, x in enumerate((x1, x2, x3)):
+            if x.shape[-1] != self.size_out:
+                x = _dense(self.size_out, f"transform_{i+1}", self.dtype)(x)
+            xs_t.append(x)
+        gate = _dense(self.size_out, "x1_gate", self.dtype)
+        stacked = jnp.stack([gate(x) for x in xs_t], axis=0)
+        z = jax.nn.softmax(stacked, axis=0)
+        fused = z[0] * h1 + z[1] * h2 + z[2] * h3
+        return fused, jnp.concatenate([z[0], z[1], z[2]], axis=-1)

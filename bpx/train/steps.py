@@ -33,6 +33,10 @@ from bpx.train.state import TrainState
 _INPUT_KEYS = {
     "mmtrvapt": ("txt", "mask", "segment", "video", "audio", "poster"),
     "mmtrvat": ("txt", "mask", "segment", "video", "audio"),
+    "mmtrvpa": ("txt", "mask", "segment", "video", "audio"),
+    "tmmtrvpa": ("txt", "mask", "segment", "video", "audio"),
+    "gmu": ("txt", "mask", "segment", "video", "audio"),
+    "gmu_bi": ("txt", "mask", "segment", "video"),
 }
 
 
