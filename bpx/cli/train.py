@@ -119,6 +119,33 @@ def get_args(parser: argparse.ArgumentParser):
     parser.add_argument("--mesh_fsdp", type=int, default=1)
     parser.add_argument("--mesh_tensor", type=int, default=1)
     parser.add_argument("--profile_dir", type=str, default=None)
+    parser.add_argument("--scan_layers", action="store_true",
+                        help="fold encoder depth into one lax.scan body "
+                             "(compile-time win for deep configs)")
+    parser.add_argument("--remat", action="store_true",
+                        help="jax.checkpoint per layer (activation memory)")
+    parser.add_argument("--optimizer", type=str, default="adam",
+                        choices=["adam", "radam", "plain_radam"])
+
+    # Reference flags accepted for drop-in compatibility; unused by the
+    # registered BPMulT models in the reference too (ref: train.py:36-68 —
+    # they belong to the superseded MMBT-era models or are dead, e.g.
+    # --warmup is never consumed, train.py:64).
+    for flag, default in [("--embed_sz", 300), ("--freeze_img", 0),
+                          ("--img_hidden_sz", 2048), ("--include_bn", 1),
+                          ("--num_image_embeds", 1), ("--num_images", 8),
+                          ("--chunk_size", 100),
+                          ("--v_len", 3), ("--l_len", 512), ("--a_len", 3)]:
+        parser.add_argument(flag, type=int, default=default,
+                            help="accepted for reference CLI compatibility")
+    parser.add_argument("--warmup", type=float, default=0.1,
+                        help="accepted for reference CLI compatibility "
+                             "(dead flag in the reference, train.py:64)")
+    parser.add_argument("--img_embed_pool_type", type=str, default="avg",
+                        choices=["max", "avg"])
+    parser.add_argument("--pooling", type=str, default="cls",
+                        choices=["cls", "att", "cls_att", "vert_att"])
+    parser.add_argument("--drop_img_percent", type=float, default=0.0)
 
 
 def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
@@ -164,7 +191,8 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
         bert_weights_path=args.bert_weights,
         freeze_bert=args.freeze_txt > 0,
         compute_dtype=args.compute_dtype,
-        attention_impl=args.attention_impl)
+        attention_impl=args.attention_impl,
+        scan_layers=args.scan_layers, remat=args.remat)
     data = DataConfig(
         task=args.task, task_type=args.task_type, data_path=args.data_path,
         bert_model=args.bert_model, bert_vocab_path=args.bert_vocab,

@@ -113,6 +113,11 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"
     # Attention backend: "xla" (einsum) or "pallas" (flash kernel).
     attention_impl: str = "xla"
+    # Compile/memory controls: scan_layers folds encoder depth into one
+    # lax.scan body (HLO-size/compile-time win); remat wraps each layer in
+    # jax.checkpoint (activation-memory win for large batch/seq).
+    scan_layers: bool = False
+    remat: bool = False
 
     def replace(self, **kw) -> "ModelConfig":
         return dataclasses.replace(self, **kw)
@@ -212,6 +217,7 @@ def _moviescope() -> ExperimentConfig:
             hidden_sz=768, num_heads=8, layers=4,
             num_vectors_l=512, num_vectors_a=200, num_vectors_v=200,
             use_audio_encoder=True, use_poster=True,
+            scan_layers=True, remat=True,
         ),
         data=DataConfig(task="moviescope", task_type="multilabel",
                         audio_raw_len=928, video_len=200),
@@ -287,10 +293,11 @@ def _stress() -> ExperimentConfig:
             model="mmtrvapt", n_classes=13,
             orig_d_l=1024, orig_d_v=4096, orig_d_a=96, orig_d_p=4096,
             hidden_sz=1024, num_heads=12, layers=12,
-            num_vectors_l=1024, num_vectors_a=512, num_vectors_v=768,
+            num_vectors_l=1024, num_vectors_a=768, num_vectors_v=768,
             use_audio_encoder=True, use_poster=True,
             bert=BertConfig.large(),
             attention_impl="pallas",
+            scan_layers=True, remat=True,
         ),
         data=DataConfig(task="moviescope", task_type="multilabel",
                         batch_sz=64, audio_raw_len=2176, video_len=768),

@@ -112,7 +112,8 @@ class _BPMulTBase(nn.Module):
             relu_dropout=cfg.relu_dropout, res_dropout=cfg.res_dropout,
             embed_dropout=cfg.embed_dropout, attn_mask=cfg.attn_mask,
             biprojection=biprojection, dtype=self._dtype(),
-            attention_impl=cfg.attention_impl, name=name)
+            attention_impl=cfg.attention_impl,
+            scan_layers=cfg.scan_layers, remat=cfg.remat, name=name)
 
     def _make_crossmodal_mesh(self, biprojection_second_round: bool):
         """The 12 crossmodal/biprojection encoders (ref: mmtr.py:339-353)."""
@@ -285,7 +286,8 @@ class BPMulTVAPT(_BPMulTBase):
             "mmtrvapt assumes num_vectors_a == num_vectors_v (the reference " \
             "passes v-length streams into a/v GMUs untransformed, mmtr.py:531,554)"
 
-        self.bert = BertEncoder(cfg.bert, dtype=dt, name="bert")
+        self.bert = BertEncoder(cfg.bert, dtype=dt, scan_layers=cfg.scan_layers,
+                                remat=cfg.remat, name="bert")
         if cfg.use_audio_encoder:
             self.audio_enc = make_audio_encoder(
                 cfg.audio_encoder, cfg.orig_d_a, cfg.num_vectors_a, dt)
@@ -399,7 +401,8 @@ class BPMulTVAT(_BPMulTBase):
             "mmtrvat uses identity length adapters; stream lengths must match " \
             "(ref: mmtr.py:664-670)"
 
-        self.bert = BertEncoder(cfg.bert, dtype=dt, name="bert")
+        self.bert = BertEncoder(cfg.bert, dtype=dt, scan_layers=cfg.scan_layers,
+                                remat=cfg.remat, name="bert")
         dense_nb = lambda feat, name: nn.Dense(
             feat, use_bias=False, dtype=dt,
             kernel_init=nn.initializers.lecun_normal(), name=name)

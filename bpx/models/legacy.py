@@ -47,7 +47,8 @@ class MulTGMUClf(_BPMulTBase):
     def setup(self):
         cfg = self.config
         dt = self._dtype()
-        self.bert = BertEncoder(cfg.bert, dtype=dt, name="bert")
+        self.bert = BertEncoder(cfg.bert, dtype=dt, scan_layers=cfg.scan_layers,
+                                remat=cfg.remat, name="bert")
         if cfg.use_audio_encoder:
             self.audio_enc = make_audio_encoder(
                 cfg.audio_encoder, cfg.orig_d_a, cfg.num_vectors_a, dt)
@@ -132,7 +133,8 @@ class TranslatingMMTGMUClf(_BPMulTBase):
         cfg = self.config
         dt = self._dtype()
         assert cfg.num_vectors_a == cfg.num_vectors_v
-        self.bert = BertEncoder(cfg.bert, dtype=dt, name="bert")
+        self.bert = BertEncoder(cfg.bert, dtype=dt, scan_layers=cfg.scan_layers,
+                                remat=cfg.remat, name="bert")
         if cfg.use_audio_encoder:
             self.audio_enc = make_audio_encoder(
                 cfg.audio_encoder, cfg.orig_d_a, cfg.num_vectors_a, dt)
@@ -214,6 +216,7 @@ class GMUClf(_BPMulTBase):
         cfg = self.config
         dt = self._dtype()
         self.bert = BertEncoder(cfg.bert, dtype=dt, with_pooler=True,
+                                scan_layers=cfg.scan_layers, remat=cfg.remat,
                                 name="bert")
         if cfg.use_audio_encoder:
             self.audio_enc = make_audio_encoder(
@@ -268,6 +271,7 @@ class GMUBimodalClf(_BPMulTBase):
         cfg = self.config
         dt = self._dtype()
         self.bert = BertEncoder(cfg.bert, dtype=dt, with_pooler=True,
+                                scan_layers=cfg.scan_layers, remat=cfg.remat,
                                 name="bert")
         if cfg.orig_d_v != cfg.hidden_sz:
             self.proj_v = nn.Dense(

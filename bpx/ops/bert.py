@@ -91,6 +91,13 @@ class BertLayer(nn.Module):
                             name="output_norm")(hidden + dropout(out))
 
 
+class _CarryBertLayer(BertLayer):
+    """(carry, y)-returning wrapper for nn.scan over the depth axis."""
+
+    def __call__(self, hidden, bias, deterministic=True):
+        return super().__call__(hidden, bias, deterministic), None
+
+
 class BertEncoder(nn.Module):
     """Full BERT: embeddings + encoder stack; returns last hidden states.
 
@@ -101,6 +108,8 @@ class BertEncoder(nn.Module):
     config: BertConfig
     dtype: jnp.dtype = jnp.float32
     with_pooler: bool = False   # tanh(W h[CLS]) second output (HF pooler)
+    scan_layers: bool = False   # one scanned layer body instead of N copies
+    remat: bool = False         # jax.checkpoint per layer (activation memory)
 
     @nn.compact
     def __call__(self, input_ids: jax.Array, attention_mask: jax.Array,
@@ -127,9 +136,25 @@ class BertEncoder(nn.Module):
             hidden = hidden * keep.astype(hidden.dtype) / (1.0 - cfg.hidden_dropout)
 
         bias = key_padding_bias(attention_mask, jnp.float32)
-        for i in range(cfg.num_layers):
-            hidden = BertLayer(cfg, self.dtype, name=f"layer{i}")(
+        if self.scan_layers:
+            layer_cls = _CarryBertLayer
+            if self.remat:
+                layer_cls = nn.remat(layer_cls, static_argnums=(3,))
+            scanned = nn.scan(
+                layer_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=cfg.num_layers)
+            hidden, _ = scanned(cfg, self.dtype, name="layers")(
                 hidden, bias, deterministic)
+        else:
+            layer_cls = BertLayer
+            if self.remat:
+                layer_cls = nn.remat(layer_cls, static_argnums=(3,))
+            for i in range(cfg.num_layers):
+                hidden = layer_cls(cfg, self.dtype, name=f"layer{i}")(
+                    hidden, bias, deterministic)
         if self.with_pooler:
             # HF pooler: tanh(W h[:, 0]) — the [CLS] summary the notebook
             # GMU classifiers consume (ref: DEMO_GMUs cell 56 x_l_cls).
@@ -143,11 +168,14 @@ class BertEncoder(nn.Module):
 # HF torch checkpoint import
 # ---------------------------------------------------------------------------
 
-def load_hf_bert_params(state_dict, config: BertConfig):
+def load_hf_bert_params(state_dict, config: BertConfig,
+                        scan_layers: bool = False):
     """Convert an HF torch BertModel state_dict into this module's params.
 
     Works with the ``bert-base-uncased`` layout (prefix ``bert.`` optional).
-    Only used when a local checkpoint is available — no network access.
+    ``scan_layers=True`` stacks the per-layer trees along a leading depth
+    axis to match the nn.scan parameter layout.  Only used when a local
+    checkpoint is available — no network access.
     """
     import numpy as np
 
@@ -176,9 +204,9 @@ def load_hf_bert_params(state_dict, config: BertConfig):
             "embedding": get("embeddings.token_type_embeddings.weight")},
         "embeddings_norm": norm("embeddings.LayerNorm"),
     }
-    for i in range(config.num_layers):
+    def layer_tree(i):
         p = f"encoder.layer.{i}"
-        params[f"layer{i}"] = {
+        return {
             "attention": {
                 "query": dense(f"{p}.attention.self.query"),
                 "key": dense(f"{p}.attention.self.key"),
@@ -190,11 +218,20 @@ def load_hf_bert_params(state_dict, config: BertConfig):
             "output": dense(f"{p}.output.dense"),
             "output_norm": norm(f"{p}.output.LayerNorm"),
         }
+
+    if scan_layers:
+        trees = [layer_tree(i) for i in range(config.num_layers)]
+        params["layers"] = jax.tree.map(
+            lambda *leaves: np.stack(leaves, axis=0), *trees)
+    else:
+        for i in range(config.num_layers):
+            params[f"layer{i}"] = layer_tree(i)
     return jax.tree.map(jnp.asarray, params)
 
 
 def maybe_load_pretrained(params: dict, config: BertConfig,
-                          weights_path: Optional[str]) -> dict:
+                          weights_path: Optional[str],
+                          scan_layers: bool = False) -> dict:
     """Replace the 'bert' subtree of ``params`` with HF weights if available.
 
     ``weights_path`` may be a ``pytorch_model.bin`` / ``model.safetensors``
@@ -220,5 +257,5 @@ def maybe_load_pretrained(params: dict, config: BertConfig,
         import torch
         state_dict = torch.load(path, map_location="cpu")
     new = dict(params)
-    new["bert"] = load_hf_bert_params(state_dict, config)
+    new["bert"] = load_hf_bert_params(state_dict, config, scan_layers)
     return new

@@ -132,6 +132,13 @@ class TransformerEncoderLayer(nn.Module):
         return residual + h
 
 
+class _CarryEncoderLayer(TransformerEncoderLayer):
+    """(carry, y)-returning wrapper for nn.scan over the depth axis."""
+
+    def __call__(self, x, x_k=None, x_v=None, deterministic=True):
+        return super().__call__(x, x_k, x_v, deterministic), None
+
+
 class TransformerEncoder(nn.Module):
     """Stack of encoder layers with scaled inputs + sinusoidal positions.
 
@@ -149,18 +156,38 @@ class TransformerEncoder(nn.Module):
     biprojection: bool = False
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "xla"
+    # scan_layers stacks the depth into one lax.scan body — one traced layer
+    # instead of `layers` copies (compile-time and HLO-size win; the layer
+    # weights become (layers, ...) stacked).  remat wraps each layer in
+    # jax.checkpoint, trading recompute for activation memory.
+    scan_layers: bool = False
+    remat: bool = False
 
     def setup(self):
         self.embed_scale = math.sqrt(self.embed_dim)
-        self.blocks = [
-            TransformerEncoderLayer(
-                embed_dim=self.embed_dim, num_heads=self.num_heads,
-                attn_dropout=self.attn_dropout, relu_dropout=self.relu_dropout,
-                res_dropout=self.res_dropout, attn_mask=self.attn_mask,
-                biprojection=self.biprojection, dtype=self.dtype,
-                attention_impl=self.attention_impl, name=f"layer{i}")
-            for i in range(self.layers)
-        ]
+        layer_kw = dict(
+            embed_dim=self.embed_dim, num_heads=self.num_heads,
+            attn_dropout=self.attn_dropout, relu_dropout=self.relu_dropout,
+            res_dropout=self.res_dropout, attn_mask=self.attn_mask,
+            biprojection=self.biprojection, dtype=self.dtype,
+            attention_impl=self.attention_impl)
+        if self.scan_layers:
+            layer_cls = _CarryEncoderLayer
+            if self.remat:
+                layer_cls = nn.remat(layer_cls, static_argnums=(4,))
+            scanned = nn.scan(
+                layer_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                length=self.layers)
+            self.blocks = scanned(**layer_kw, name="layers")
+        else:
+            layer_cls = TransformerEncoderLayer
+            if self.remat:
+                layer_cls = nn.remat(layer_cls, static_argnums=(4,))
+            self.blocks = [layer_cls(**layer_kw, name=f"layer{i}")
+                           for i in range(self.layers)]
         self.final_norm = nn.LayerNorm(dtype=self.dtype, name="final_norm")
 
     def _dropout(self, x, rate, deterministic):
@@ -185,6 +212,9 @@ class TransformerEncoder(nn.Module):
         if x_in_k is not None and x_in_v is not None:
             x_k = self._embed(x_in_k, deterministic)
             x_v = self._embed(x_in_v, deterministic)
-        for block in self.blocks:
-            x = block(x, x_k, x_v, deterministic=deterministic)
+        if self.scan_layers:
+            x, _ = self.blocks(x, x_k, x_v, deterministic)
+        else:
+            for block in self.blocks:
+                x = block(x, x_k, x_v, deterministic)
         return self.final_norm(x)

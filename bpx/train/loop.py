@@ -62,7 +62,8 @@ def init_model_and_state(exp: ExperimentConfig, example_batch, root_key):
     params = model.init({"params": root_key}, *inputs)["params"]
     if exp.model.bert_init == "pretrained":
         params = maybe_load_pretrained(dict(params), exp.model.bert,
-                                       exp.model.bert_weights_path)
+                                       exp.model.bert_weights_path,
+                                       exp.model.scan_layers)
     tx = make_optimizer(exp.train.lr)
     state = TrainState.create(params, tx)
     return model, tx, state

@@ -171,3 +171,41 @@ def test_stack_matches_oracle():
     ref = F.layer_norm(h, (E,), fw, fb)
     np.testing.assert_allclose(np.asarray(ours), ref.detach().numpy(),
                                atol=2e-4)
+
+
+def test_scan_layers_matches_unrolled():
+    """scan_layers+remat must be a pure compile-time transform: identical
+    outputs to the unrolled stack given the same (stacked) weights."""
+    E, H, L, B, Tq = 32, 4, 3, 2, 6
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, Tq, E).astype(np.float32))
+    plain = TransformerEncoder(embed_dim=E, num_heads=H, layers=L,
+                               attn_mask=True)
+    scan = TransformerEncoder(embed_dim=E, num_heads=H, layers=L,
+                              attn_mask=True, scan_layers=True, remat=True)
+    vp = plain.init(jax.random.PRNGKey(0), x)
+    stacked = jax.tree.map(lambda *ls: jnp.stack(ls),
+                           *[vp["params"][f"layer{i}"] for i in range(L)])
+    vs = {"params": {"layers": stacked,
+                     "final_norm": vp["params"]["final_norm"]}}
+    a = plain.apply(vp, x)
+    b = scan.apply(vs, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # gradients flow through remat+scan
+    g = jax.grad(lambda v: float(0) + jnp.sum(scan.apply(v, x) ** 2))(vs)
+    for leaf in jax.tree.leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_scan_layers_cross_mode():
+    E, H, L = 32, 4, 2
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 6, E).astype(np.float32))
+    xk = jnp.asarray(rng.randn(2, 9, E).astype(np.float32))
+    scan = TransformerEncoder(embed_dim=E, num_heads=H, layers=L,
+                              attn_mask=True, biprojection=True,
+                              scan_layers=True, remat=True)
+    v = scan.init(jax.random.PRNGKey(0), x, xk, xk)
+    out = scan.apply(v, x, xk, xk)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
