@@ -145,12 +145,21 @@ class HashTokenizer:
 
 
 def build_tokenizer(bert_vocab_path: Optional[str] = None,
-                    vocab_size: int = 1024):
+                    vocab_size: int = 1024,
+                    use_native: bool = True):
     """WordPiece from a local vocab.txt when available, else the hash
-    fallback (zero-egress environments)."""
+    fallback (zero-egress environments).  ``use_native`` wraps the Python
+    tokenizer with the C++ fast path (bpx.data.native) when the toolchain is
+    available; ASCII text encodes natively, everything else falls back."""
     if bert_vocab_path:
         vocab = Vocab.from_bert_vocab_file(bert_vocab_path)
-        return WordPieceTokenizer(vocab), vocab
+        tokenizer = WordPieceTokenizer(vocab)
+        if use_native:
+            from bpx.data.native import NativeWordPieceTokenizer
+            native = NativeWordPieceTokenizer(bert_vocab_path, tokenizer)
+            if native.is_native:
+                return native, vocab
+        return tokenizer, vocab
     vocab = Vocab()
     vocab.vocab_sz = vocab_size
     return HashTokenizer(vocab_size), vocab

@@ -166,6 +166,9 @@ def train(exp: ExperimentConfig, data_all=None,
     if tcfg.profile_dir:
         jax.profiler.start_trace(tcfg.profile_dir)
 
+    from bpx.utils.profiling import StepTimer
+    timer = StepTimer()
+
     for epoch in range(start_epoch, tcfg.max_epochs):
         epoch_losses = []
         buffered = []
@@ -180,19 +183,23 @@ def train(exp: ExperimentConfig, data_all=None,
             n_samples += super_batch["txt"].shape[0] * \
                 super_batch["txt"].shape[1]
             buffered = []
+            timer.start()
             jbatch = {k: jnp.asarray(v) for k, v in super_batch.items()}
             if mesh is not None:
                 jbatch = place_batch(jbatch, mesh, has_accum_axis=True)
             state, step_metrics = train_step(state, jbatch, rng)
             epoch_losses.append(step_metrics["loss"])
+            timer.stop()
         if not epoch_losses:
             raise RuntimeError(
                 f"epoch produced no optimizer steps: need at least "
                 f"{accum} batches of {dcfg.batch_sz}")
         train_loss = float(np.mean([float(l) for l in epoch_losses]))
         dt = time.time() - t0
-        logger.info("Epoch %d | Train Loss: %.4f | %.1f samples/s | lr %.2e",
+        logger.info("Epoch %d | Train Loss: %.4f | %.1f samples/s | "
+                    "step %s | lr %.2e",
                     epoch, train_loss, n_samples / max(dt, 1e-9),
+                    timer.summary(n_samples // max(len(epoch_losses), 1)),
                     get_current_lr(state.opt_state))
 
         metrics, *_ = evaluate(eval_step, state.params, val_loader,

@@ -165,3 +165,16 @@ def test_loss_decreases_on_synthetic(tmp_path):
         state, m = step(state, batch, jax.random.PRNGKey(1))
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0] * 0.7, losses[::10]
+
+
+def test_step_timer():
+    from bpx.utils.profiling import StepTimer
+    import time as _time
+    t = StepTimer(window=4)
+    for _ in range(6):
+        t.start()
+        _time.sleep(0.001)
+        t.stop()
+    assert len(t.times) == 4
+    assert t.p50 >= 0.001 and t.p90 >= t.p50
+    assert "samples/s" in t.summary(8)
