@@ -188,6 +188,10 @@ class TrainConfig:
     log_every: int = 50
     checkpoint_keep: int = 2
     profile_dir: Optional[str] = None  # jax.profiler trace output
+    # PRNG for dropout masks: "rbg" uses the TPU hardware RNG (fast; the
+    # right choice for dropout), "threefry" is JAX's default counter PRNG
+    # (slower on TPU — measured ~35% of the moviescope step).
+    rng_impl: str = "rbg"
 
     mesh: MeshConfig = field(default_factory=MeshConfig)
 

@@ -1,0 +1,67 @@
+"""Vmapped multi-seed training tests (SURVEY.md §5.8 TPU-native sweep)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from bpx.config import get_preset
+from bpx.data.loaders import get_data_loaders
+from bpx.models import get_model
+from bpx.train.losses import make_loss_fn
+from bpx.train.multiseed import (init_multi_seed, make_multi_seed_train_step,
+                                 unstack_seed)
+from bpx.train.optim import make_optimizer
+from bpx.train.state import TrainState
+from bpx.train.steps import make_train_step
+
+
+def _setup():
+    exp = get_preset("synthetic-tiny")
+    train_loader, _, _, _ = get_data_loaders(exp.data, exp.model, seed=0)
+    batch = next(iter(train_loader))
+    batch.pop("valid", None)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    model = get_model(exp.model)
+    tx = make_optimizer(1e-3)
+    loss_fn = make_loss_fn("synthetic", "multilabel", False)
+    return exp, model, tx, loss_fn, jbatch
+
+
+def test_multiseed_matches_individual_seeds():
+    exp, model, tx, loss_fn, batch = _setup()
+    seeds = [3, 9]
+    states = init_multi_seed(model, exp.model.model, batch, tx, seeds)
+    step = jax.jit(make_multi_seed_train_step(model, exp.model.model,
+                                              loss_fn, tx))
+    rngs = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds))
+    new_states, metrics = step(states, batch, rngs)
+    assert metrics["loss"].shape == (2,)
+    # seeds start from different inits -> different losses
+    assert abs(float(metrics["loss"][0]) - float(metrics["loss"][1])) > 1e-6
+
+    # seed 0 of the vmapped run must equal an individual run with the same
+    # init and dropout key
+    from bpx.train.steps import model_inputs
+    params0 = model.init({"params": jax.random.PRNGKey(seeds[0])},
+                         *model_inputs(exp.model.model, batch))["params"]
+    state0 = TrainState.create(params0, tx)
+
+    import optax
+    def one(state, rng):
+        def micro(p):
+            logits = model.apply({"params": p},
+                                 *model_inputs(exp.model.model, batch),
+                                 deterministic=False, rngs={"dropout": rng})
+            return loss_fn(logits, batch["target"])
+        loss, grads = jax.value_and_grad(micro)(state.params)
+        updates, opt = tx.update(grads, state.opt_state, state.params)
+        return state.replace(params=optax.apply_updates(state.params, updates),
+                             opt_state=opt), loss
+
+    state0b, loss0 = jax.jit(one)(state0, jax.random.PRNGKey(seeds[0]))
+    np.testing.assert_allclose(float(loss0), float(metrics["loss"][0]),
+                               atol=1e-5)
+    ex = unstack_seed(new_states, 0)
+    for a, b in zip(jax.tree.leaves(ex.params),
+                    jax.tree.leaves(state0b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
