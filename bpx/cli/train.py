@@ -30,7 +30,8 @@ def get_args(parser: argparse.ArgumentParser):
     # training / data flags (ref: train.py:33-74)
     parser.add_argument("--batch_sz", type=int, default=128)
     parser.add_argument("--bert_model", type=str, default="bert-base-uncased",
-                        choices=["bert-base-uncased", "bert-large-uncased"])
+                        choices=["bert-base-uncased", "bert-large-uncased",
+                                 "distilbert-base-uncased"])
     parser.add_argument("--bert_vocab", type=str, default=None,
                         help="local vocab.txt for the WordPiece tokenizer")
     parser.add_argument("--bert_weights", type=str, default=None,
@@ -162,6 +163,8 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
                           max_position_embeddings=max(512, args.max_seq_len))
     elif args.bert_model == "bert-large-uncased":
         bert = BertConfig.large()
+    elif args.bert_model == "distilbert-base-uncased":
+        bert = BertConfig.distil()
     else:
         bert = BertConfig.base()
 

@@ -32,10 +32,17 @@ class BertConfig:
     attention_dropout: float = 0.1
     layer_norm_eps: float = 1e-12
     pad_token_id: int = 0
+    # DistilBERT-style variant: no token-type embeddings (the reference CLI
+    # lists distilbert-base-uncased, train.py:34).
+    use_token_type: bool = True
 
     @staticmethod
     def base() -> "BertConfig":
         return BertConfig()
+
+    @staticmethod
+    def distil() -> "BertConfig":
+        return BertConfig(num_layers=6, use_token_type=False)
 
     @staticmethod
     def large() -> "BertConfig":

@@ -125,9 +125,11 @@ class BertEncoder(nn.Module):
         pos_ids = jnp.arange(T, dtype=jnp.int32)[None, :]
         pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
                        dtype=self.dtype, name="position_embeddings")(pos_ids)
-        typ = nn.Embed(cfg.type_vocab_size, cfg.hidden_size, dtype=self.dtype,
-                       name="token_type_embeddings")(token_type_ids)
-        hidden = word + pos + typ
+        hidden = word + pos
+        if cfg.use_token_type:
+            hidden = hidden + nn.Embed(
+                cfg.type_vocab_size, cfg.hidden_size, dtype=self.dtype,
+                name="token_type_embeddings")(token_type_ids)
         hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                               name="embeddings_norm")(hidden)
         if cfg.hidden_dropout > 0 and not deterministic:

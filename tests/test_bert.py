@@ -71,3 +71,17 @@ def test_bert_random_init_runs():
     out2 = enc.apply(variables, ids, mask, deterministic=False,
                      rngs={"dropout": jax.random.PRNGKey(1)})
     assert out2.shape == out.shape
+
+
+def test_distil_config_runs():
+    """DistilBERT-style variant: no token-type embeddings
+    (ref CLI choice distilbert-base-uncased, train.py:34)."""
+    cfg = BertConfig(vocab_size=100, hidden_size=32, num_layers=2,
+                     num_heads=4, intermediate_size=64, use_token_type=False)
+    enc = BertEncoder(cfg)
+    ids = jnp.ones((2, 6), jnp.int32)
+    mask = jnp.ones((2, 6), jnp.int32)
+    variables = enc.init(jax.random.PRNGKey(0), ids, mask)
+    assert "token_type_embeddings" not in variables["params"]
+    out = enc.apply(variables, ids, mask)
+    assert out.shape == (2, 6, 32)
