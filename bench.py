@@ -72,20 +72,26 @@ def measure_tpu(exp) -> float:
     loss_fn = make_loss_fn("moviescope", "multilabel", False)
     step = jax.jit(make_train_step(model, exp.model.model, loss_fn, tx,
                                    grad_accum=1), donate_argnums=(0,))
-    rng = jax.random.PRNGKey(0)
+    # rbg: the TPU hardware PRNG for dropout masks (threefry measured ~20%
+    # of the step on this model).
+    rng = jax.random.key(0, impl="rbg")
 
+    # Per-step host sync: the axon tunnel's async dispatch makes
+    # block-once-at-the-end measurements unreliable (observed reporting
+    # far below the compute floor), so fetch the loss every step.
     for _ in range(WARMUP_STEPS):
         state, metrics = step(state, batch, rng)
-    jax.block_until_ready(metrics["loss"])
+        float(metrics["loss"])
 
-    t0 = time.perf_counter()
+    times = []
     for _ in range(BENCH_STEPS):
+        t0 = time.perf_counter()
         state, metrics = step(state, batch, rng)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
-    step_latency = dt / BENCH_STEPS
-    sys.stderr.write(f"p50-ish step latency: {step_latency*1000:.1f} ms\n")
-    return BATCH * BENCH_STEPS / dt
+        float(metrics["loss"])
+        times.append(time.perf_counter() - t0)
+    p50 = sorted(times)[len(times) // 2]
+    sys.stderr.write(f"p50 step latency: {p50*1000:.1f} ms\n")
+    return BATCH / p50
 
 
 def measure_torch_cpu_baseline(exp, batch: int = 2, steps: int = 2) -> float:

@@ -229,6 +229,7 @@ def _moviescope() -> ExperimentConfig:
             num_vectors_l=512, num_vectors_a=200, num_vectors_v=200,
             use_audio_encoder=True, use_poster=True,
             scan_layers=True, remat=True,
+            attention_impl="pallas",
         ),
         data=DataConfig(task="moviescope", task_type="multilabel",
                         audio_raw_len=928, video_len=200),
