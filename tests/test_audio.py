@@ -52,9 +52,17 @@ def test_audio_encoder_matches_torch_conv():
 
 
 def test_factory_variants():
-    for variant, ch in [("moviescope", 96), ("cmumosei", 74), ("cmumosi", 5)]:
+    # lengths satisfy the two-conv minimum for each kernel/stride
+    for variant, ch, t in [("moviescope", 96, 512), ("cmumosei", 74, 64),
+                           ("cmumosi", 5, 64)]:
         enc = make_audio_encoder(variant, ch, 16)
-        x = jnp.zeros((1, 300, ch))
+        x = jnp.zeros((1, t, ch))
         variables = enc.init(jax.random.PRNGKey(0), x)
         out = enc.apply(variables, x)
         assert out.shape == (1, 16, ch)
+
+
+def test_too_short_audio_raises():
+    enc = make_audio_encoder("moviescope", 96, 16)
+    with pytest.raises(ValueError, match="too short"):
+        enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 300, 96)))

@@ -56,7 +56,7 @@ def _vat_batch(cfg, B=2, seed=0):
 
 
 def test_registry():
-    assert set(MODELS) == {"mmtrvapt", "mmtrvat"}
+    assert {"mmtrvapt", "mmtrvat"}.issubset(set(MODELS))
     with pytest.raises(KeyError):
         get_model(ModelConfig(model="nope"))
 
