@@ -205,6 +205,7 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
         video_len=args.video_len)
     train_cfg = TrainConfig(
         name=args.name, savedir=args.savedir, seed=args.seed,
+        optimizer=args.optimizer,
         from_seed=args.from_seed, to_seed=args.to_seed,
         inverse_seed=args.inverse_seed, lr=args.lr,
         lr_factor=args.lr_factor, lr_patience=args.lr_patience,

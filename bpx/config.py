@@ -184,6 +184,7 @@ class TrainConfig:
     inverse_seed: bool = False
 
     lr: float = 1e-3
+    optimizer: str = "adam"          # adam | radam | plain_radam (C29)
     lr_factor: float = 0.5           # ReduceLROnPlateau factor (ref: train.py:128-136)
     lr_patience: int = 2
     max_epochs: int = 100

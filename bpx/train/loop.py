@@ -64,7 +64,7 @@ def init_model_and_state(exp: ExperimentConfig, example_batch, root_key):
         params = maybe_load_pretrained(dict(params), exp.model.bert,
                                        exp.model.bert_weights_path,
                                        exp.model.scan_layers)
-    tx = make_optimizer(exp.train.lr)
+    tx = make_optimizer(exp.train.lr, exp.train.optimizer)
     state = TrainState.create(params, tx)
     return model, tx, state
 

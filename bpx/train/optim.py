@@ -22,9 +22,20 @@ import numpy as np
 import optax
 
 
-def make_optimizer(lr: float) -> optax.GradientTransformation:
-    """Plain Adam (ref: train.py:123-125) with an injectable learning rate."""
-    return optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+def make_optimizer(lr: float,
+                   name: str = "adam") -> optax.GradientTransformation:
+    """Optimizer factory: plain Adam (ref: train.py:123-125) or the RAdam
+    variants (ref: utils/optimization.py) — all with an injectable learning
+    rate for the plateau scheduler."""
+    if name == "adam":
+        return optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+    if name == "radam":
+        from bpx.train.radam import radam
+        return radam(lr)
+    if name == "plain_radam":
+        from bpx.train.radam import plain_radam
+        return plain_radam(lr)
+    raise KeyError(f"unknown optimizer {name!r}")
 
 
 def get_current_lr(opt_state) -> float:
