@@ -141,9 +141,7 @@ class BertEncoder(nn.Module):
         if self.scan_layers:
             layer_cls = _CarryBertLayer
             if self.remat:
-                layer_cls = nn.remat(
-                    layer_cls, static_argnums=(3,),
-                    policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+                layer_cls = nn.remat(layer_cls, static_argnums=(3,))
             scanned = nn.scan(
                 layer_cls,
                 variable_axes={"params": 0},
@@ -155,9 +153,7 @@ class BertEncoder(nn.Module):
         else:
             layer_cls = BertLayer
             if self.remat:
-                layer_cls = nn.remat(
-                    layer_cls, static_argnums=(3,),
-                    policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+                layer_cls = nn.remat(layer_cls, static_argnums=(3,))
             for i in range(cfg.num_layers):
                 hidden = layer_cls(cfg, self.dtype, name=f"layer{i}")(
                     hidden, bias, deterministic)

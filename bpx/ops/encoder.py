@@ -174,9 +174,7 @@ class TransformerEncoder(nn.Module):
         if self.scan_layers:
             layer_cls = _CarryEncoderLayer
             if self.remat:
-                layer_cls = nn.remat(
-                    layer_cls, static_argnums=(4,),
-                    policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+                layer_cls = nn.remat(layer_cls, static_argnums=(4,))
             scanned = nn.scan(
                 layer_cls,
                 variable_axes={"params": 0},
@@ -187,9 +185,7 @@ class TransformerEncoder(nn.Module):
         else:
             layer_cls = TransformerEncoderLayer
             if self.remat:
-                layer_cls = nn.remat(
-                    layer_cls, static_argnums=(4,),
-                    policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+                layer_cls = nn.remat(layer_cls, static_argnums=(4,))
             self.blocks = [layer_cls(**layer_kw, name=f"layer{i}")
                            for i in range(self.layers)]
         self.final_norm = nn.LayerNorm(dtype=self.dtype, name="final_norm")
