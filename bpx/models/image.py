@@ -86,3 +86,47 @@ def extract_to_pickles(extractor, items: Iterable, out_dir: str):
         feats = extractor(image[None])[0]
         with open(os.path.join(out_dir, f"{item_id}.p"), "wb") as f:
             pickle.dump(np.asarray(feats), f)
+
+
+# ---------------------------------------------------------------------------
+# Host-side image preprocessing (ref: data/helpers.py:18-30 ``get_transforms``)
+# ---------------------------------------------------------------------------
+
+IMAGENET_MEAN = (0.46777044, 0.44531429, 0.40661017)
+IMAGENET_STD = (0.12221994, 0.12145835, 0.14380469)
+
+
+def preprocess_image(image: np.ndarray,
+                     resize: int = 256, crop: int = 224,
+                     mean=IMAGENET_MEAN, std=IMAGENET_STD) -> np.ndarray:
+    """Resize(256) -> CenterCrop(224) -> scale to [0,1] -> Normalize.
+
+    Numpy port of the reference's torchvision transform chain
+    (ref: data/helpers.py:18-30) used ahead of the offline extractors.
+    Input: (H, W, 3) uint8 or float; output: (3, crop, crop) float32.
+    """
+    img = np.asarray(image)
+    if img.dtype == np.uint8:
+        img = img.astype(np.float32) / 255.0
+    h, w = img.shape[:2]
+    # shorter side -> `resize`, bilinear
+    scale = resize / min(h, w)
+    new_h, new_w = int(round(h * scale)), int(round(w * scale))
+    ys = np.clip((np.arange(new_h) + 0.5) / scale - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(new_w) + 0.5) / scale - 0.5, 0, w - 1)
+    y0 = np.floor(ys).astype(int)
+    x0 = np.floor(xs).astype(int)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[:, None, None]
+    wx = (xs - x0)[None, :, None]
+    img = ((img[y0][:, x0] * (1 - wy) * (1 - wx))
+           + (img[y1][:, x0] * wy * (1 - wx))
+           + (img[y0][:, x1] * (1 - wy) * wx)
+           + (img[y1][:, x1] * wy * wx))
+    # center crop
+    top = (new_h - crop) // 2
+    left = (new_w - crop) // 2
+    img = img[top:top + crop, left:left + crop]
+    img = (img - np.asarray(mean)) / np.asarray(std)
+    return img.transpose(2, 0, 1).astype(np.float32)

@@ -194,3 +194,76 @@ def test_vapt_logits_match_torch_oracle():
 
     np.testing.assert_allclose(ours, logits.detach().numpy(),
                                atol=5e-4, rtol=1e-3)
+
+
+def test_vat_logits_match_torch_oracle():
+    """3-input model parity (ref: mmtr.py:735-866): raw audio, identity
+    length adapters, plain second-round encoders, 3-ary final GMU."""
+    cfg = ModelConfig(
+        model="mmtrvat", n_classes=3,
+        orig_d_l=E, orig_d_v=11, orig_d_a=7,
+        hidden_sz=E, num_heads=H, layers=1,
+        num_vectors_l=12, num_vectors_a=12, num_vectors_v=12,
+        use_audio_encoder=False, use_poster=False, attn_mask=True,
+        bert=BertConfig(vocab_size=200, hidden_size=E, num_layers=1,
+                        num_heads=2, intermediate_size=64),
+        compute_dtype="float32")
+    from bpx.models import get_model as _gm
+    model = _gm(cfg)
+    rng = np.random.RandomState(1)
+    B, L = 2, 12
+    txt = rng.randint(1, 200, (B, L))
+    mask = np.ones((B, L), np.int32)
+    seg = np.zeros((B, L), np.int32)
+    video = rng.randn(B, 12, cfg.orig_d_v).astype(np.float32)
+    audio = rng.randn(B, 12, cfg.orig_d_a).astype(np.float32)
+
+    batch = tuple(jnp.asarray(a) for a in (txt, mask, seg, video, audio))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, *batch)
+    ours = np.asarray(model.apply(variables, *batch))
+    p = variables["params"]
+
+    bert = BertEncoder(cfg.bert)
+    x_l = torch.tensor(np.asarray(bert.apply(
+        {"params": p["bert"]}, batch[0], batch[1], batch[2])))
+    x_v = torch.tensor(video) @ _t(p["proj_v"]["kernel"])
+    x_a = torch.tensor(audio) @ _t(p["proj_a"]["kernel"])
+    proj_l, proj_v, proj_a = x_l, x_v, x_a   # lengths already 12 == nv
+
+    enc = lambda name: OracleEncoder(p[name], False)   # all plain in VAT
+    h_v_as = enc("trans_v_with_a")(np.asarray(proj_v.detach()), np.asarray(proj_a.detach()))
+    h_a_vs = enc("trans_a_with_v")(np.asarray(proj_a.detach()), np.asarray(proj_v.detach()))
+    h_v_ls = enc("trans_v_with_l")(np.asarray(proj_v.detach()), np.asarray(proj_l.detach()))
+    h_l_vs = enc("trans_l_with_v")(np.asarray(proj_l.detach()), np.asarray(proj_v.detach()))
+    h_a_ls = enc("trans_a_with_l")(np.asarray(proj_a.detach()), np.asarray(proj_l.detach()))
+    h_l_as = enc("trans_l_with_a")(np.asarray(proj_l.detach()), np.asarray(proj_a.detach()))
+
+    def second(name, q, kv):
+        return enc(name)(np.asarray(q.detach()), np.asarray(kv.detach()))
+
+    # L (flip), identity adapters
+    bi1 = second("trans_l_with_v2a", proj_l, h_a_vs)
+    bi2 = second("trans_l_with_a2v", proj_l, h_v_as)
+    mid = _gmu_feat(p["gmu_l_m"], h_v_as, h_a_vs)
+    top = _gmu_feat(p["gmu_l"], bi2 + h_v_as, bi1 + h_a_vs) + mid
+    last_l = top[:, 0] + top[:, -1]
+    # A (direct)
+    bi1 = second("trans_a_with_v2l", proj_a, h_l_vs)
+    bi2 = second("trans_a_with_l2v", proj_a, h_v_ls)
+    mid = _gmu_feat(p["gmu_a_m"], h_l_vs, h_v_ls)
+    top = _gmu_feat(p["gmu_a"], bi1 + h_l_vs, bi2 + h_v_ls) + mid
+    last_a = top[:, 0] + top[:, -1]
+    # V (direct)
+    bi1 = second("trans_v_with_a2l", proj_v, h_l_as)
+    bi2 = second("trans_v_with_l2a", proj_v, h_a_ls)
+    mid = _gmu_feat(p["gmu_v_m"], h_l_as, h_a_ls)
+    top = _gmu_feat(p["gmu_v"], bi1 + h_l_as, bi2 + h_a_ls) + mid
+    last_v = top[:, 0] + top[:, -1]
+
+    fused = _gmu_n(p["gmu"], [last_l, last_v, last_a])
+    hproj = F.relu(fused @ _t(p["proj1"]["kernel"]) + _t(p["proj1"]["bias"]))
+    hproj = hproj @ _t(p["proj2"]["kernel"]) + _t(p["proj2"]["bias"])
+    logits = (hproj + fused) @ _t(p["out_layer"]["kernel"]) \
+        + _t(p["out_layer"]["bias"])
+    np.testing.assert_allclose(ours, logits.detach().numpy(),
+                               atol=5e-4, rtol=1e-3)
