@@ -283,6 +283,22 @@ def _cmu_mosei() -> ExperimentConfig:
     )
 
 
+def _counseling() -> ExperimentConfig:
+    """Counseling bimodal-ish: glove 'video' stream + fasttext-as-audio
+    (ref: dataset.py:120-124,187-190; metrics train.py:212-229)."""
+    return ExperimentConfig(
+        model=ModelConfig(
+            model="mmtrvat", n_classes=2,
+            orig_d_l=768, orig_d_v=300, orig_d_a=300,
+            hidden_sz=300, num_heads=10, layers=5,
+            num_vectors_l=512, num_vectors_a=512, num_vectors_v=512,
+            use_audio_encoder=False, use_poster=False,
+        ),
+        data=DataConfig(task="counseling", task_type="multilabel",
+                        audio_raw_len=512, video_len=512),
+    )
+
+
 def _cmu_mosi() -> ExperimentConfig:
     """CMU-MOSI regression (L1 loss, ref: train.py:113-114,257-270)."""
     return ExperimentConfig(
@@ -342,6 +358,7 @@ PRESETS: Dict[str, Any] = {
     "iemocap": _iemocap,
     "cmu-mosei": _cmu_mosei,
     "cmu-mosi": _cmu_mosi,
+    "counseling": _counseling,
     "stress": _stress,
     "synthetic-tiny": _synthetic_tiny,
 }

@@ -141,7 +141,7 @@ def test_stream_too_long_raises():
 
 def test_presets_construct():
     for name in ["moviescope", "mmimdb", "iemocap", "cmu-mosei", "cmu-mosi",
-                 "stress", "synthetic-tiny"]:
+                 "counseling", "stress", "synthetic-tiny"]:
         exp = get_preset(name)
         get_model(exp.model)   # construction only; init is expensive
 
