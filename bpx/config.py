@@ -315,13 +315,14 @@ def _cmu_mosi() -> ExperimentConfig:
 
 
 def _stress() -> ExperimentConfig:
-    """Scaled stress config (BASELINE.md item 5): 12 heads, 12 layers,
-    hidden 1024, batch 64, long unaligned sequences."""
+    """Scaled stress config (BASELINE.md item 5): 12 layers, hidden 1024,
+    batch 64, long unaligned sequences.  16 heads (BASELINE names 12, which
+    does not divide 1024; 16 matches bert-large's head_dim 64)."""
     return ExperimentConfig(
         model=ModelConfig(
             model="mmtrvapt", n_classes=13,
             orig_d_l=1024, orig_d_v=4096, orig_d_a=96, orig_d_p=4096,
-            hidden_sz=1024, num_heads=12, layers=12,
+            hidden_sz=1024, num_heads=16, layers=12,
             num_vectors_l=1024, num_vectors_a=768, num_vectors_v=768,
             use_audio_encoder=True, use_poster=True,
             bert=BertConfig.large(),

@@ -68,7 +68,7 @@ class BatchIterator:
     def __init__(self, dataset, data_cfg: DataConfig, model_cfg: ModelConfig,
                  batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, seed: int = 0,
-                 prefetch: int = 2):
+                 prefetch: int = 2, n_workers: int = 0):
         self.dataset = dataset
         self.data_cfg = data_cfg
         self.model_cfg = model_cfg
@@ -77,7 +77,21 @@ class BatchIterator:
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = prefetch
+        # item-loading thread pool (the reference forks 12 processes per
+        # loader, helpers.py:187-194; feature unpickling is release-the-GIL
+        # file IO so threads suffice on a TPU host)
+        self.n_workers = n_workers
+        self._pool = None
         self.epoch = 0
+
+    def _load_items(self, indices):
+        if self.n_workers and len(indices) > 1:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._pool = ThreadPoolExecutor(max_workers=self.n_workers)
+            return list(self._pool.map(
+                lambda j: self.dataset[int(j)], indices))
+        return [self.dataset[int(j)] for j in indices]
 
     def __len__(self):
         n = len(self.dataset)
@@ -97,7 +111,7 @@ class BatchIterator:
         ends = n_full * self.batch_size
         for i in range(n_full):
             chunk = idx[i * self.batch_size:(i + 1) * self.batch_size]
-            items = [self.dataset[int(j)] for j in chunk]
+            items = self._load_items(chunk)
             yield collate(items, self.data_cfg, self.model_cfg)
         if not self.drop_last and ends < len(idx):
             # final partial batch padded to full size by wrapping (static
@@ -106,7 +120,7 @@ class BatchIterator:
             valid = len(chunk)
             while len(chunk) < self.batch_size:
                 chunk.append(idx[len(chunk) % max(ends, 1) if ends else 0])
-            items = [self.dataset[int(j)] for j in chunk]
+            items = self._load_items(chunk)
             batch = collate(items, self.data_cfg, self.model_cfg)
             batch["valid"] = np.arange(self.batch_size) < valid
             yield batch
@@ -189,6 +203,6 @@ def get_data_loaders(data_cfg: DataConfig, model_cfg: ModelConfig,
     bs = data_cfg.batch_sz
     it = lambda ds, shuffle, drop: BatchIterator(
         ds, data_cfg, model_cfg, bs, shuffle=shuffle, drop_last=drop,
-        seed=seed, prefetch=2)
+        seed=seed, prefetch=2, n_workers=data_cfg.n_workers)
     return (it(train, True, True), it(dev, False, False),
             it(test, False, False), meta)
