@@ -52,10 +52,29 @@ def _spec_for(path: Tuple[str, ...], leaf) -> P:
     return P(*([None] * ndim))
 
 
+def _fit_spec_to_mesh(spec: P, shape, mesh: Mesh) -> P:
+    """Drop sharding on axes whose size doesn't divide the mesh axis
+    (e.g. the (2, H) token-type embedding can't shard its vocab over
+    fsdp=4) — those axes replicate instead."""
+    fitted = []
+    for dim, names in zip(shape, tuple(spec) + (None,) * (len(shape) - len(spec))):
+        if names is None:
+            fitted.append(None)
+            continue
+        group = names if isinstance(names, tuple) else (names,)
+        size = 1
+        for name in group:
+            size *= mesh.shape[name]
+        fitted.append(names if dim % size == 0 else None)
+    return P(*fitted)
+
+
 def param_shardings(params: Any, mesh: Mesh) -> Any:
     """Pytree of NamedShardings mirroring ``params``."""
-    return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, _spec_for(path, leaf)), params)
+    def make(path, leaf):
+        spec = _fit_spec_to_mesh(_spec_for(path, leaf), leaf.shape, mesh)
+        return NamedSharding(mesh, spec)
+    return jax.tree_util.tree_map_with_path(make, params)
 
 
 def batch_sharding(mesh: Mesh, batch_axis: int = 0) -> NamedSharding:

@@ -114,3 +114,21 @@ def test_graft_entry_compiles():
     fn, args = __graft_entry__.entry()
     out = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_spec_fitting_to_mesh():
+    """Axes that don't divide the mesh axis replicate instead of erroring
+    (e.g. the (2, H) token-type embedding under fsdp=4)."""
+    from bpx.parallel.sharding import param_shardings
+    mesh = make_mesh(MeshConfig(data=1, fsdp=4, tensor=2))
+    params = {
+        "token_type_embeddings": {"embedding": np.zeros((2, 64))},
+        "word_embeddings": {"embedding": np.zeros((30528, 64))},
+        "fc1": {"kernel": np.zeros((64, 256))},
+        "odd": {"kernel": np.zeros((63, 255))},
+    }
+    sh = param_shardings(params, mesh)
+    assert sh["token_type_embeddings"]["embedding"].spec == P(None, None)
+    assert sh["word_embeddings"]["embedding"].spec == P("fsdp", None)
+    assert sh["fc1"]["kernel"].spec == P("fsdp", "tensor")
+    assert sh["odd"]["kernel"].spec == P(None, None)
