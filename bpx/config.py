@@ -125,6 +125,9 @@ class ModelConfig:
     # jax.checkpoint (activation-memory win for large batch/seq).
     scan_layers: bool = False
     remat: bool = False
+    # Selective remat: None inherits `remat`; False keeps BERT activations
+    # resident (saves its recompute pass when HBM allows).
+    remat_bert: Optional[bool] = None
 
     def replace(self, **kw) -> "ModelConfig":
         return dataclasses.replace(self, **kw)

@@ -286,8 +286,9 @@ class BPMulTVAPT(_BPMulTBase):
             "mmtrvapt assumes num_vectors_a == num_vectors_v (the reference " \
             "passes v-length streams into a/v GMUs untransformed, mmtr.py:531,554)"
 
+        remat_bert = cfg.remat if cfg.remat_bert is None else cfg.remat_bert
         self.bert = BertEncoder(cfg.bert, dtype=dt, scan_layers=cfg.scan_layers,
-                                remat=cfg.remat, name="bert")
+                                remat=remat_bert, name="bert")
         if cfg.use_audio_encoder:
             self.audio_enc = make_audio_encoder(
                 cfg.audio_encoder, cfg.orig_d_a, cfg.num_vectors_a, dt)
@@ -401,8 +402,9 @@ class BPMulTVAT(_BPMulTBase):
             "mmtrvat uses identity length adapters; stream lengths must match " \
             "(ref: mmtr.py:664-670)"
 
+        remat_bert = cfg.remat if cfg.remat_bert is None else cfg.remat_bert
         self.bert = BertEncoder(cfg.bert, dtype=dt, scan_layers=cfg.scan_layers,
-                                remat=cfg.remat, name="bert")
+                                remat=remat_bert, name="bert")
         dense_nb = lambda feat, name: nn.Dense(
             feat, use_bias=False, dtype=dt,
             kernel_init=nn.initializers.lecun_normal(), name=name)

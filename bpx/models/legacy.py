@@ -47,8 +47,9 @@ class MulTGMUClf(_BPMulTBase):
     def setup(self):
         cfg = self.config
         dt = self._dtype()
+        remat_bert = cfg.remat if cfg.remat_bert is None else cfg.remat_bert
         self.bert = BertEncoder(cfg.bert, dtype=dt, scan_layers=cfg.scan_layers,
-                                remat=cfg.remat, name="bert")
+                                remat=remat_bert, name="bert")
         if cfg.use_audio_encoder:
             self.audio_enc = make_audio_encoder(
                 cfg.audio_encoder, cfg.orig_d_a, cfg.num_vectors_a, dt)
@@ -133,8 +134,9 @@ class TranslatingMMTGMUClf(_BPMulTBase):
         cfg = self.config
         dt = self._dtype()
         assert cfg.num_vectors_a == cfg.num_vectors_v
+        remat_bert = cfg.remat if cfg.remat_bert is None else cfg.remat_bert
         self.bert = BertEncoder(cfg.bert, dtype=dt, scan_layers=cfg.scan_layers,
-                                remat=cfg.remat, name="bert")
+                                remat=remat_bert, name="bert")
         if cfg.use_audio_encoder:
             self.audio_enc = make_audio_encoder(
                 cfg.audio_encoder, cfg.orig_d_a, cfg.num_vectors_a, dt)
@@ -215,8 +217,9 @@ class GMUClf(_BPMulTBase):
     def setup(self):
         cfg = self.config
         dt = self._dtype()
+        remat_bert = cfg.remat if cfg.remat_bert is None else cfg.remat_bert
         self.bert = BertEncoder(cfg.bert, dtype=dt, with_pooler=True,
-                                scan_layers=cfg.scan_layers, remat=cfg.remat,
+                                scan_layers=cfg.scan_layers, remat=remat_bert,
                                 name="bert")
         if cfg.use_audio_encoder:
             self.audio_enc = make_audio_encoder(
@@ -270,8 +273,9 @@ class GMUBimodalClf(_BPMulTBase):
     def setup(self):
         cfg = self.config
         dt = self._dtype()
+        remat_bert = cfg.remat if cfg.remat_bert is None else cfg.remat_bert
         self.bert = BertEncoder(cfg.bert, dtype=dt, with_pooler=True,
-                                scan_layers=cfg.scan_layers, remat=cfg.remat,
+                                scan_layers=cfg.scan_layers, remat=remat_bert,
                                 name="bert")
         if cfg.orig_d_v != cfg.hidden_sz:
             self.proj_v = nn.Dense(
