@@ -209,3 +209,83 @@ def test_mosi_regression_metrics(rng):
         assert k in m
     assert m["weight_f1"] == m["mae"]
     assert tuning_metric("cmu-mosi", "classification", m) == m["mae"]
+
+
+def test_jsonl_dataset_mmimdb_layout(tmp_path):
+    """MM-IMDb layout: glove pickles as video, hdf5 vgg_features via
+    indices.pkl as poster, BoW pickles in the audio slot
+    (ref: dataset.py:106-118,181-185)."""
+    import pickle
+    import h5py
+    task_dir = tmp_path / "mmimdb"
+    task_dir.mkdir()
+    (task_dir / "glove").mkdir()
+    (task_dir / "BoW").mkdir()
+    rng = np.random.RandomState(0)
+    ids = ["10", "11"]
+    with h5py.File(task_dir / "multimodal_imdb.hdf5", "w") as f:
+        f.create_dataset("vgg_features",
+                         data=rng.randn(2, 40).astype(np.float32))
+    with open(task_dir / "indices.pkl", "wb") as f:
+        pickle.dump({"10": 0, "11": 1}, f)
+    records = []
+    for sid in ids:
+        records.append({"id": sid, "synopsis": f"plot {sid}",
+                        "label": ["Drama"]})
+        with open(task_dir / "glove" / f"{sid}.p", "wb") as f:
+            pickle.dump({"glove": rng.randn(1, 20, 300).astype(np.float32)}, f)
+        with open(task_dir / "BoW" / f"{sid}.p", "wb") as f:
+            pickle.dump({"bow": rng.randn(50).astype(np.float32)}, f)
+    for split in ["train", "dev", "test"]:
+        with open(task_dir / f"{split}.jsonl", "w") as f:
+            for r in records:
+                f.write(json.dumps(r) + "\n")
+
+    exp = get_preset("synthetic-tiny")
+    import dataclasses
+    dcfg = dataclasses.replace(exp.data, task="mmimdb",
+                               data_path=str(tmp_path), batch_sz=2,
+                               audio_raw_len=50, video_len=20)
+    mcfg = exp.model.replace(orig_d_a=1, orig_d_v=300, orig_d_p=40,
+                             use_audio_encoder=False)
+    train, _, _, meta = get_data_loaders(dcfg, mcfg, seed=0)
+    b = next(iter(train))
+    assert b["video"].shape == (2, 20, 300)
+    assert b["audio"].shape == (2, 50, 1)    # BoW rides the audio slot
+    assert b["poster"].shape == (2, 40)
+
+
+def test_jsonl_dataset_mosei_layout(tmp_path):
+    """CMU-MOSEI layout: Vision/{split}/{id}.p and Audio/{split}/{id}.p torch
+    pickles (ref: dataset.py:125-135,160-170)."""
+    import torch
+    task_dir = tmp_path / "cmu-mosei"
+    for sub in ["Vision/train", "Audio/train"]:
+        (task_dir / sub).mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    records = []
+    for sid in ["a", "b"]:
+        records.append({"id": sid, "task": "train",
+                        "synopsis": f"utterance {sid}", "label": ["happy"]})
+        with open(task_dir / "Vision" / "train" / f"{sid}.p", "wb") as f:
+            torch.save(torch.randn(30, 35), f)
+        with open(task_dir / "Audio" / "train" / f"{sid}.p", "wb") as f:
+            torch.save(torch.randn(30, 74), f)
+    for split in ["train", "dev", "test"]:
+        with open(task_dir / f"{split}.jsonl", "w") as f:
+            for r in records:
+                f.write(json.dumps(r) + "\n")
+
+    exp = get_preset("synthetic-tiny")
+    import dataclasses
+    dcfg = dataclasses.replace(exp.data, task="cmu-mosei",
+                               data_path=str(tmp_path), batch_sz=2,
+                               audio_raw_len=30, video_len=30)
+    mcfg = exp.model.replace(orig_d_a=74, orig_d_v=35,
+                             use_audio_encoder=False, use_poster=False,
+                             model="mmtrvat")
+    train, _, _, meta = get_data_loaders(dcfg, mcfg, seed=0)
+    b = next(iter(train))
+    assert b["video"].shape == (2, 30, 35)
+    assert b["audio"].shape == (2, 30, 74)
+    assert "poster" not in b
