@@ -128,6 +128,11 @@ class ModelConfig:
     # Selective remat: None inherits `remat`; False keeps BERT activations
     # resident (saves its recompute pass when HBM allows).
     remat_bert: Optional[bool] = None
+    # Group the 12 crossmodal encoders into 6 same-shape vmapped pairs —
+    # doubles the effective GEMM batch and halves kernel-launch count.
+    # Requires attn_dropout_a == attn_dropout_v and num_vectors_a ==
+    # num_vectors_v. Changes the parameter tree layout (stacked pairs).
+    group_encoders: bool = False
 
     def replace(self, **kw) -> "ModelConfig":
         return dataclasses.replace(self, **kw)

@@ -115,9 +115,98 @@ class _BPMulTBase(nn.Module):
             attention_impl=cfg.attention_impl,
             scan_layers=cfg.scan_layers, remat=cfg.remat, name=name)
 
+    def _grouped_encoder(self, name: str, attn_dropout: float,
+                         biprojection: bool):
+        """A pair of same-shape encoders vmapped over a stacked leading axis
+        (PERF.md roadmap item 1): params get shape (2, ...), inputs
+        (2, B, T, E) — one program, double GEMM batch."""
+        cfg = self.config
+        grouped_cls = nn.vmap(
+            TransformerEncoder,
+            in_axes=(0, 0, 0, None),
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+        )
+        return grouped_cls(
+            embed_dim=cfg.hidden_sz, num_heads=cfg.num_heads,
+            layers=cfg.layers, attn_dropout=attn_dropout,
+            relu_dropout=cfg.relu_dropout, res_dropout=cfg.res_dropout,
+            embed_dropout=cfg.embed_dropout, attn_mask=cfg.attn_mask,
+            biprojection=biprojection, dtype=self._dtype(),
+            attention_impl=cfg.attention_impl,
+            scan_layers=cfg.scan_layers, remat=cfg.remat, name=name)
+
+    def _make_grouped_mesh(self, biprojection_second_round: bool):
+        """Grouped variant of the 12-encoder mesh: 6 vmapped pairs.
+
+        Grouping constraints are semantic, not cosmetic: pair members must
+        share (Tq, Tk) and attn_dropout.  Pairs (reference names):
+        g_va   = (trans_v_with_a,  trans_a_with_v)
+        g_xl   = (trans_v_with_l,  trans_a_with_l)
+        g_lx   = (trans_l_with_v,  trans_l_with_a)
+        g_l_bi = (trans_l_with_v2a, trans_l_with_a2v)
+        g_x2l  = (trans_a_with_v2l, trans_v_with_a2l)
+        g_xl2  = (trans_a_with_l2v, trans_v_with_l2a)
+        """
+        cfg = self.config
+        assert cfg.attn_dropout_a == cfg.attn_dropout_v, \
+            "group_encoders requires attn_dropout_a == attn_dropout_v " \
+            "(pair members share one dropout rate)"
+        bp = biprojection_second_round
+        self.g_va = self._grouped_encoder("g_va", cfg.attn_dropout_a, False)
+        self.g_xl = self._grouped_encoder("g_xl", cfg.attn_dropout, False)
+        self.g_lx = self._grouped_encoder("g_lx", cfg.attn_dropout_v, False)
+        self.g_l_bi = self._grouped_encoder("g_l_bi", cfg.attn_dropout_a, bp)
+        self.g_x2l = self._grouped_encoder("g_x2l", cfg.attn_dropout, bp)
+        self.g_xl2 = self._grouped_encoder("g_xl2", cfg.attn_dropout_v, bp)
+
+    def _first_round_grouped(self, proj_l, proj_v, proj_a, deterministic):
+        """Grouped form of the 6 first-round encoders; same outputs."""
+        det = deterministic
+        stack = lambda a, b: jnp.stack([a, b])
+        # (v<-a, a<-v)
+        h = self.g_va(stack(proj_v, proj_a), stack(proj_a, proj_v),
+                      stack(proj_a, proj_v), det)
+        h_v_with_as, h_a_with_vs = h[0], h[1]
+        # (v<-l, a<-l)
+        h = self.g_xl(stack(proj_v, proj_a), stack(proj_l, proj_l),
+                      stack(proj_l, proj_l), det)
+        h_v_with_ls, h_a_with_ls = h[0], h[1]
+        # (l<-v, l<-a)
+        h = self.g_lx(stack(proj_l, proj_l), stack(proj_v, proj_a),
+                      stack(proj_v, proj_a), det)
+        h_l_with_vs, h_l_with_as = h[0], h[1]
+        return (h_v_with_as, h_a_with_vs, h_v_with_ls, h_l_with_vs,
+                h_a_with_ls, h_l_with_as)
+
+    def _second_round_grouped(self, proj_l, proj_v, proj_a,
+                              h_v_with_as, h_a_with_vs, h_v_with_ls,
+                              h_l_with_vs, h_a_with_ls, h_l_with_as,
+                              deterministic):
+        """Grouped form of the 6 second-round encoders; returns the six
+        biprojection outputs in reference naming order."""
+        det = deterministic
+        stack = lambda a, b: jnp.stack([a, b])
+        h = self.g_l_bi(stack(proj_l, proj_l),
+                        stack(h_a_with_vs, h_v_with_as),
+                        stack(h_a_with_vs, h_v_with_as), det)
+        h_l_v2a, h_l_a2v = h[0], h[1]
+        h = self.g_x2l(stack(proj_a, proj_v),
+                       stack(h_l_with_vs, h_l_with_as),
+                       stack(h_l_with_vs, h_l_with_as), det)
+        h_a_v2l, h_v_a2l = h[0], h[1]
+        h = self.g_xl2(stack(proj_a, proj_v),
+                       stack(h_v_with_ls, h_a_with_ls),
+                       stack(h_v_with_ls, h_a_with_ls), det)
+        h_a_l2v, h_v_l2a = h[0], h[1]
+        return h_l_v2a, h_l_a2v, h_a_v2l, h_a_l2v, h_v_a2l, h_v_l2a
+
     def _make_crossmodal_mesh(self, biprojection_second_round: bool):
         """The 12 crossmodal/biprojection encoders (ref: mmtr.py:339-353)."""
         cfg = self.config
+        if cfg.group_encoders:
+            self._make_grouped_mesh(biprojection_second_round)
+            return
         enc = self._encoder
         # First round: plain crossmodal encoders.  Per-target attn dropouts
         # follow get_network's self_type table (ref: mmtr.py:398-419):
@@ -232,6 +321,8 @@ class _BPMulTBase(nn.Module):
     def _first_round(self, proj_l, proj_v, proj_a, deterministic):
         """The 6 first-round crossmodal transformers (ref: mmtr.py:489-498)."""
         det = deterministic
+        if self.config.group_encoders:
+            return self._first_round_grouped(proj_l, proj_v, proj_a, det)
         h_v_with_as = self.trans_v_with_a(proj_v, proj_a, proj_a, deterministic=det)
         h_a_with_vs = self.trans_a_with_v(proj_a, proj_v, proj_v, deterministic=det)
         h_v_with_ls = self.trans_v_with_l(proj_v, proj_l, proj_l, deterministic=det)
@@ -337,34 +428,40 @@ class BPMulTVAPT(_BPMulTBase):
             proj_l, proj_v, proj_a, deterministic)
 
         det = deterministic
-        # Target L (ref: mmtr.py:501-522): both first-round streams are
-        # length-adapted to num_vectors_l.
-        h_l_v2a = self.trans_l_with_v2a(proj_l, h_a_with_vs, h_a_with_vs,
-                                        deterministic=det)
-        h_l_a2v = self.trans_l_with_a2v(proj_l, h_v_with_as, h_v_with_as,
-                                        deterministic=det)
+        if cfg.group_encoders:
+            (h_l_v2a, h_l_a2v, h_a_v2l, h_a_l2v, h_v_a2l, h_v_l2a) = \
+                self._second_round_grouped(
+                    proj_l, proj_v, proj_a, h_v_with_as, h_a_with_vs,
+                    h_v_with_ls, h_l_with_vs, h_a_with_ls, h_l_with_as, det)
+        else:
+            # Target L (ref: mmtr.py:501-522); A (524-545); V (547-568).
+            h_l_v2a = self.trans_l_with_v2a(proj_l, h_a_with_vs, h_a_with_vs,
+                                            deterministic=det)
+            h_l_a2v = self.trans_l_with_a2v(proj_l, h_v_with_as, h_v_with_as,
+                                            deterministic=det)
+            h_a_v2l = self.trans_a_with_v2l(proj_a, h_l_with_vs, h_l_with_vs,
+                                            deterministic=det)
+            h_a_l2v = self.trans_a_with_l2v(proj_a, h_v_with_ls, h_v_with_ls,
+                                            deterministic=det)
+            h_v_a2l = self.trans_v_with_a2l(proj_v, h_l_with_as, h_l_with_as,
+                                            deterministic=det)
+            h_v_l2a = self.trans_v_with_l2a(proj_v, h_a_with_ls, h_a_with_ls,
+                                            deterministic=det)
+
+        # Target L: both first-round streams length-adapted to num_vectors_l.
         t_h_a_with_vs = self.transfm_a2l(h_a_with_vs)
         t_h_v_with_as = self.transfm_v2l(h_v_with_as)
         last_h_l = self._fuse_target(h_l_v2a, h_l_a2v,
                                      t_h_a_with_vs, t_h_v_with_as,
                                      self.gmu_l_m, self.gmu_l, flip=True)
 
-        # Target A (ref: mmtr.py:524-545): the l-stream is adapted to
-        # num_vectors_a, the v-stream passes through (lengths equal).
-        h_a_v2l = self.trans_a_with_v2l(proj_a, h_l_with_vs, h_l_with_vs,
-                                        deterministic=det)
-        h_a_l2v = self.trans_a_with_l2v(proj_a, h_v_with_ls, h_v_with_ls,
-                                        deterministic=det)
+        # Target A: the l-stream adapted to num_vectors_a, v passes through.
         t_h_l_with_vs = self.transfm_l2a(h_l_with_vs)
         last_h_a = self._fuse_target(h_a_v2l, h_a_l2v,
                                      t_h_l_with_vs, h_v_with_ls,
                                      self.gmu_a_m, self.gmu_a)
 
-        # Target V (ref: mmtr.py:547-568).
-        h_v_a2l = self.trans_v_with_a2l(proj_v, h_l_with_as, h_l_with_as,
-                                        deterministic=det)
-        h_v_l2a = self.trans_v_with_l2a(proj_v, h_a_with_ls, h_a_with_ls,
-                                        deterministic=det)
+        # Target V.
         t_h_l_with_as = self.transfm_l2v(h_l_with_as)
         last_h_v = self._fuse_target(h_v_a2l, h_v_l2a,
                                      t_h_l_with_as, h_a_with_ls,
@@ -440,26 +537,30 @@ class BPMulTVAT(_BPMulTBase):
 
         det = deterministic
         # Second round + fusion; all adapters identity (equal lengths).
-        h_l_v2a = self.trans_l_with_v2a(proj_l, h_a_with_vs, h_a_with_vs,
-                                        deterministic=det)
-        h_l_a2v = self.trans_l_with_a2v(proj_l, h_v_with_as, h_v_with_as,
-                                        deterministic=det)
+        if cfg.group_encoders:
+            (h_l_v2a, h_l_a2v, h_a_v2l, h_a_l2v, h_v_a2l, h_v_l2a) = \
+                self._second_round_grouped(
+                    proj_l, proj_v, proj_a, h_v_with_as, h_a_with_vs,
+                    h_v_with_ls, h_l_with_vs, h_a_with_ls, h_l_with_as, det)
+        else:
+            h_l_v2a = self.trans_l_with_v2a(proj_l, h_a_with_vs, h_a_with_vs,
+                                            deterministic=det)
+            h_l_a2v = self.trans_l_with_a2v(proj_l, h_v_with_as, h_v_with_as,
+                                            deterministic=det)
+            h_a_v2l = self.trans_a_with_v2l(proj_a, h_l_with_vs, h_l_with_vs,
+                                            deterministic=det)
+            h_a_l2v = self.trans_a_with_l2v(proj_a, h_v_with_ls, h_v_with_ls,
+                                            deterministic=det)
+            h_v_a2l = self.trans_v_with_a2l(proj_v, h_l_with_as, h_l_with_as,
+                                            deterministic=det)
+            h_v_l2a = self.trans_v_with_l2a(proj_v, h_a_with_ls, h_a_with_ls,
+                                            deterministic=det)
         last_h_l = self._fuse_target(h_l_v2a, h_l_a2v,
                                      h_a_with_vs, h_v_with_as,
                                      self.gmu_l_m, self.gmu_l, flip=True)
-
-        h_a_v2l = self.trans_a_with_v2l(proj_a, h_l_with_vs, h_l_with_vs,
-                                        deterministic=det)
-        h_a_l2v = self.trans_a_with_l2v(proj_a, h_v_with_ls, h_v_with_ls,
-                                        deterministic=det)
         last_h_a = self._fuse_target(h_a_v2l, h_a_l2v,
                                      h_l_with_vs, h_v_with_ls,
                                      self.gmu_a_m, self.gmu_a)
-
-        h_v_a2l = self.trans_v_with_a2l(proj_v, h_l_with_as, h_l_with_as,
-                                        deterministic=det)
-        h_v_l2a = self.trans_v_with_l2a(proj_v, h_a_with_ls, h_a_with_ls,
-                                        deterministic=det)
         last_h_v = self._fuse_target(h_v_a2l, h_v_l2a,
                                      h_l_with_as, h_a_with_ls,
                                      self.gmu_v_m, self.gmu_v)
