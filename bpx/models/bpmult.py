@@ -379,7 +379,9 @@ class BPMulTVAPT(_BPMulTBase):
 
         remat_bert = cfg.remat if cfg.remat_bert is None else cfg.remat_bert
         self.bert = BertEncoder(cfg.bert, dtype=dt, scan_layers=cfg.scan_layers,
-                                remat=remat_bert, name="bert")
+                                remat=remat_bert,
+                                attention_impl=cfg.attention_impl,
+                                name="bert")
         if cfg.use_audio_encoder:
             self.audio_enc = make_audio_encoder(
                 cfg.audio_encoder, cfg.orig_d_a, cfg.num_vectors_a, dt)
@@ -501,7 +503,9 @@ class BPMulTVAT(_BPMulTBase):
 
         remat_bert = cfg.remat if cfg.remat_bert is None else cfg.remat_bert
         self.bert = BertEncoder(cfg.bert, dtype=dt, scan_layers=cfg.scan_layers,
-                                remat=remat_bert, name="bert")
+                                remat=remat_bert,
+                                attention_impl=cfg.attention_impl,
+                                name="bert")
         dense_nb = lambda feat, name: nn.Dense(
             feat, use_bias=False, dtype=dt,
             kernel_init=nn.initializers.lecun_normal(), name=name)

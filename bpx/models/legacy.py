@@ -49,7 +49,9 @@ class MulTGMUClf(_BPMulTBase):
         dt = self._dtype()
         remat_bert = cfg.remat if cfg.remat_bert is None else cfg.remat_bert
         self.bert = BertEncoder(cfg.bert, dtype=dt, scan_layers=cfg.scan_layers,
-                                remat=remat_bert, name="bert")
+                                remat=remat_bert,
+                                attention_impl=cfg.attention_impl,
+                                name="bert")
         if cfg.use_audio_encoder:
             self.audio_enc = make_audio_encoder(
                 cfg.audio_encoder, cfg.orig_d_a, cfg.num_vectors_a, dt)
@@ -136,7 +138,9 @@ class TranslatingMMTGMUClf(_BPMulTBase):
         assert cfg.num_vectors_a == cfg.num_vectors_v
         remat_bert = cfg.remat if cfg.remat_bert is None else cfg.remat_bert
         self.bert = BertEncoder(cfg.bert, dtype=dt, scan_layers=cfg.scan_layers,
-                                remat=remat_bert, name="bert")
+                                remat=remat_bert,
+                                attention_impl=cfg.attention_impl,
+                                name="bert")
         if cfg.use_audio_encoder:
             self.audio_enc = make_audio_encoder(
                 cfg.audio_encoder, cfg.orig_d_a, cfg.num_vectors_a, dt)
@@ -220,6 +224,7 @@ class GMUClf(_BPMulTBase):
         remat_bert = cfg.remat if cfg.remat_bert is None else cfg.remat_bert
         self.bert = BertEncoder(cfg.bert, dtype=dt, with_pooler=True,
                                 scan_layers=cfg.scan_layers, remat=remat_bert,
+                                attention_impl=cfg.attention_impl,
                                 name="bert")
         if cfg.use_audio_encoder:
             self.audio_enc = make_audio_encoder(
@@ -276,6 +281,7 @@ class GMUBimodalClf(_BPMulTBase):
         remat_bert = cfg.remat if cfg.remat_bert is None else cfg.remat_bert
         self.bert = BertEncoder(cfg.bert, dtype=dt, with_pooler=True,
                                 scan_layers=cfg.scan_layers, remat=remat_bert,
+                                attention_impl=cfg.attention_impl,
                                 name="bert")
         if cfg.orig_d_v != cfg.hidden_sz:
             self.proj_v = nn.Dense(

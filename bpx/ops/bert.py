@@ -32,9 +32,10 @@ from bpx.ops.masks import key_padding_bias
 class BertSelfAttention(nn.Module):
     config: BertConfig
     dtype: jnp.dtype = jnp.float32
+    attention_impl: str = "xla"    # "xla" einsum | "pallas" flash kernel
 
     @nn.compact
-    def __call__(self, hidden, bias, deterministic=True):
+    def __call__(self, hidden, bias, kv_lens=None, deterministic=True):
         cfg = self.config
         head_dim = cfg.hidden_size // cfg.num_heads
         B, T, _ = hidden.shape
@@ -43,6 +44,21 @@ class BertSelfAttention(nn.Module):
         q = dense("query")(hidden).reshape(B, T, cfg.num_heads, head_dim)
         k = dense("key")(hidden).reshape(B, T, cfg.num_heads, head_dim)
         v = dense("value")(hidden).reshape(B, T, cfg.num_heads, head_dim)
+
+        if self.attention_impl == "pallas" and kv_lens is not None:
+            # Flash path: key padding from per-sample lengths (collate
+            # guarantees a contiguous suffix), dropout fused in-kernel.
+            from bpx.ops.flash_attention import flash_attention_maybe
+            rng = None
+            if cfg.attention_dropout > 0 and not deterministic:
+                rng = self.make_rng("dropout")
+            q = q * jnp.asarray(head_dim ** -0.5, self.dtype)
+            ctx = flash_attention_maybe(
+                q, k, v, mask=None, kv_lens=kv_lens,
+                dropout_rate=cfg.attention_dropout, dropout_rng=rng,
+                deterministic=deterministic)
+            return ctx.reshape(B, T, cfg.hidden_size)
+
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         scores = scores / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
@@ -64,9 +80,10 @@ class BertLayer(nn.Module):
 
     config: BertConfig
     dtype: jnp.dtype = jnp.float32
+    attention_impl: str = "xla"
 
     @nn.compact
-    def __call__(self, hidden, bias, deterministic=True):
+    def __call__(self, hidden, bias, kv_lens=None, deterministic=True):
         cfg = self.config
 
         def dropout(x):
@@ -76,8 +93,9 @@ class BertLayer(nn.Module):
                                         1.0 - cfg.hidden_dropout, x.shape)
             return x * keep.astype(x.dtype) / (1.0 - cfg.hidden_dropout)
 
-        attn_out = BertSelfAttention(cfg, self.dtype, name="attention")(
-            hidden, bias, deterministic)
+        attn_out = BertSelfAttention(cfg, self.dtype, self.attention_impl,
+                                     name="attention")(
+            hidden, bias, kv_lens, deterministic)
         attn_out = nn.Dense(cfg.hidden_size, dtype=self.dtype,
                             name="attention_output")(attn_out)
         hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
@@ -94,8 +112,8 @@ class BertLayer(nn.Module):
 class _CarryBertLayer(BertLayer):
     """(carry, y)-returning wrapper for nn.scan over the depth axis."""
 
-    def __call__(self, hidden, bias, deterministic=True):
-        return super().__call__(hidden, bias, deterministic), None
+    def __call__(self, hidden, bias, kv_lens=None, deterministic=True):
+        return super().__call__(hidden, bias, kv_lens, deterministic), None
 
 
 class BertEncoder(nn.Module):
@@ -110,6 +128,7 @@ class BertEncoder(nn.Module):
     with_pooler: bool = False   # tanh(W h[CLS]) second output (HF pooler)
     scan_layers: bool = False   # one scanned layer body instead of N copies
     remat: bool = False         # jax.checkpoint per layer (activation memory)
+    attention_impl: str = "xla"  # "pallas" routes self-attn through flash
 
     @nn.compact
     def __call__(self, input_ids: jax.Array, attention_mask: jax.Array,
@@ -137,26 +156,33 @@ class BertEncoder(nn.Module):
                                         1.0 - cfg.hidden_dropout, hidden.shape)
             hidden = hidden * keep.astype(hidden.dtype) / (1.0 - cfg.hidden_dropout)
 
-        bias = key_padding_bias(attention_mask, jnp.float32)
+        pallas = self.attention_impl == "pallas"
+        # Flash path: per-sample lengths replace the (B, 1, 1, T) additive
+        # bias (collate guarantees padding is a contiguous suffix).
+        kv_lens = attention_mask.sum(-1).astype(jnp.int32) if pallas else None
+        bias = None if pallas else key_padding_bias(attention_mask,
+                                                    jnp.float32)
         if self.scan_layers:
             layer_cls = _CarryBertLayer
             if self.remat:
-                layer_cls = nn.remat(layer_cls, static_argnums=(3,))
+                layer_cls = nn.remat(layer_cls, static_argnums=(4,))
             scanned = nn.scan(
                 layer_cls,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
-                in_axes=(nn.broadcast, nn.broadcast),
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
                 length=cfg.num_layers)
-            hidden, _ = scanned(cfg, self.dtype, name="layers")(
-                hidden, bias, deterministic)
+            hidden, _ = scanned(cfg, self.dtype, self.attention_impl,
+                                name="layers")(
+                hidden, bias, kv_lens, deterministic)
         else:
             layer_cls = BertLayer
             if self.remat:
-                layer_cls = nn.remat(layer_cls, static_argnums=(3,))
+                layer_cls = nn.remat(layer_cls, static_argnums=(4,))
             for i in range(cfg.num_layers):
-                hidden = layer_cls(cfg, self.dtype, name=f"layer{i}")(
-                    hidden, bias, deterministic)
+                hidden = layer_cls(cfg, self.dtype, self.attention_impl,
+                                   name=f"layer{i}")(
+                    hidden, bias, kv_lens, deterministic)
         if self.with_pooler:
             # HF pooler: tanh(W h[:, 0]) — the [CLS] summary the notebook
             # GMU classifiers consume (ref: DEMO_GMUs cell 56 x_l_cls).

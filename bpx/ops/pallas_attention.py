@@ -1,9 +1,10 @@
-"""Flash attention TPU kernels (Pallas) with the fused offset band mask.
+"""Flash attention TPU kernels (Pallas) with fused mask + dropout.
 
 Implements the reference's exact attention semantics
-(ref: multihead_attention.py:110-126 — q pre-scaled, fp32 softmax;
-ref: transformer.py:209-216 — rectangular offset future-mask
-``col <= row + |Tk - Tq|``) as FlashAttention-2 style tiled kernels:
+(ref: multihead_attention.py:10-158 — q pre-scaled, fp32 softmax, dropout on
+the attention probabilities; ref: transformer.py:209-216 — rectangular offset
+future-mask ``col <= row + |Tk - Tq|``) as FlashAttention-2 style tiled
+kernels:
 
 * forward: online-softmax over key blocks, band applied analytically per
   tile (the (Tq, Tk) mask matrix is never materialised), saves the
@@ -12,14 +13,30 @@ ref: transformer.py:209-216 — rectangular offset future-mask
   dK/dV (grid over K blocks, scan over Q blocks) — recomputing P from the
   saved logsumexp; fp32 accumulation throughout.
 
+**Fused dropout** (ref: multihead_attention.py:123 — ``F.dropout`` on the
+softmax probabilities): the keep mask is a *stateless counter-based hash*
+(murmur3 finalizer over the global (batch·head, row, col) element index mixed
+with a per-call seed).  The same mask is therefore recomputable in every
+backward kernel regardless of tile iteration order, costs a handful of VPU
+integer ops per element, never touches HBM, and behaves identically under
+Pallas interpret mode (CPU tests) and on real TPUs.  The softmax denominator
+is computed from the *undropped* probabilities, matching dropout-after-softmax
+semantics.  Divergence note: the Bernoulli(keep) stream differs from torch's
+RNG — same distribution, different draws (documented in PARITY.md).
+
+**Per-sample key lengths** (``kv_lens``): BERT-style right-padded batches are
+masked analytically from a per-sample length instead of an additive
+(B, 1, 1, Tk) bias (ref: the HF attention-mask bias).  Requires the padding
+to be a contiguous suffix — guaranteed by ``bpx.data.collate``.
+
 Banded skipping: key blocks entirely above the band are skipped, so the
 square-masked case does ~half the work — the standard causal-flash win,
 generalised to the rectangular offset band.
 
 Layout contract: inputs are (B, T, H, D) with **q already scaled** by
-``head_dim**-0.5`` (matching bpx.ops.attention).  The dispatcher pads T and
-D to 128-multiples and masks padded keys analytically with the real
-``kv_len``; padded q rows/D-channels are sliced off on return.
+``head_dim**-0.5`` (matching bpx.ops.attention).  T and D are padded to
+128-multiples; padded keys are masked analytically via ``kv_lens``; padded
+q rows/D-channels are sliced off on return.
 """
 
 from __future__ import annotations
@@ -37,28 +54,59 @@ BLOCK_K = 128
 NEG_INF = -1e30
 
 
-
 def _interpret() -> bool:
     """Interpret mode off-TPU (CPU tests); compiled on real TPUs."""
     import jax
     return jax.default_backend() != "tpu"
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
 # ---------------------------------------------------------------------------
+# stateless dropout mask
+# ---------------------------------------------------------------------------
+
+def _keep_mask(seed, bh, row, col, tk_p: int, rate: float):
+    """Bernoulli(1-rate) keep mask from a counter-based hash.
+
+    ``row``/``col`` are (BQ, BK) int32 global coordinate grids; the global
+    element index mixed with the seed goes through the murmur3 finalizer
+    (full avalanche), so fwd and both bwd kernels regenerate the identical
+    mask from (seed, bh, row, col) alone.
+    """
+    idx = (bh.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
+           + row.astype(jnp.uint32) * jnp.uint32(tk_p)
+           + col.astype(jnp.uint32))
+    x = idx * jnp.uint32(0x9E3779B9) + seed
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    threshold = jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
+    return x >= threshold
+
+
+# ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
-                kv_len: int, offset: int, masked: bool, blocks_k: int):
+def _fwd_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                offset: int, masked: bool, blocks_k: int, rate: float,
+                tk_p: int):
     """One (batch*head, q-block) program: online softmax over key blocks."""
+    b = pl.program_id(0)
     qi = pl.program_id(1)
+    kv_len = kvl_ref[b]
     q = q_ref[0].astype(jnp.float32)                    # (BQ, D)
     bq, d = q.shape
 
     row = qi * BLOCK_Q + jax.lax.broadcasted_iota(jnp.int32, (bq, BLOCK_K), 0)
+    if rate > 0.0:
+        seed = seed_ref[0].astype(jnp.uint32)
+        inv_keep = jnp.float32(1.0 / (1.0 - rate))
 
     def body(kj, carry):
         acc, m_prev, l_prev = carry
@@ -77,7 +125,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new[:, None])
         alpha = jnp.exp(m_prev - m_new)
+        # softmax denominator from the *undropped* probabilities
         l_new = l_prev * alpha + jnp.sum(p, axis=1)
+        if rate > 0.0:
+            keep = _keep_mask(seed, b, row, col, tk_p, rate)
+            p = jnp.where(keep, p * inv_keep, 0.0)
         acc = acc * alpha[:, None] + jax.lax.dot_general(
             p, v_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -104,18 +156,20 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
     lse_ref[0] = jnp.broadcast_to(lse[None, :], (8, lse.shape[0]))
 
 
-def _fwd(q, k, v, masked: bool, kv_len: int, offset: int):
+def _fwd(q, k, v, kvl, seed, masked: bool, offset: int, rate: float):
     bh, tq, d = q.shape
     tk = k.shape[1]
     blocks_q = tq // BLOCK_Q
     blocks_k = tk // BLOCK_K
 
-    kernel = functools.partial(_fwd_kernel, kv_len=kv_len, offset=offset,
-                               masked=masked, blocks_k=blocks_k)
+    kernel = functools.partial(_fwd_kernel, offset=offset, masked=masked,
+                               blocks_k=blocks_k, rate=rate, tk_p=tk)
     out, lse = pl.pallas_call(
         kernel,
         grid=(bh, blocks_q),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, tk, d), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, tk, d), lambda b, i: (b, 0, 0)),
@@ -128,7 +182,7 @@ def _fwd(q, k, v, masked: bool, kv_len: int, offset: int):
             jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
             jax.ShapeDtypeStruct((bh, 8, tq), jnp.float32),
         ],
-        interpret=_interpret())(q, k, v)
+        interpret=_interpret())(kvl, seed, q, k, v)
     return out, lse
 
 
@@ -136,15 +190,22 @@ def _fwd(q, k, v, masked: bool, kv_len: int, offset: int):
 # backward
 # ---------------------------------------------------------------------------
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-                   *, kv_len: int, offset: int, masked: bool, blocks_k: int):
+def _bwd_dq_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                   delta_ref, dq_ref, *,
+                   offset: int, masked: bool, blocks_k: int, rate: float,
+                   tk_p: int):
+    b = pl.program_id(0)
     qi = pl.program_id(1)
+    kv_len = kvl_ref[b]
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
     lse = lse_ref[0, 0]
     delta = delta_ref[0, 0]
     bq, d = q.shape
     row = qi * BLOCK_Q + jax.lax.broadcasted_iota(jnp.int32, (bq, BLOCK_K), 0)
+    if rate > 0.0:
+        seed = seed_ref[0].astype(jnp.uint32)
+        inv_keep = jnp.float32(1.0 / (1.0 - rate))
 
     def body(kj, dq):
         k_blk = k_ref[0, pl.ds(kj * BLOCK_K, BLOCK_K), :].astype(jnp.float32)
@@ -159,6 +220,9 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         p = jnp.where(ok, jnp.exp(s - lse[:, None]), 0.0)
         dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+        if rate > 0.0:
+            keep = _keep_mask(seed, b, row, col, tk_p, rate)
+            dp = jnp.where(keep, dp * inv_keep, 0.0)
         ds = p * (dp - delta[:, None])
         return dq + jax.lax.dot_general(ds, k_blk, (((1,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
@@ -173,14 +237,20 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, *,
-                    kv_len: int, offset: int, masked: bool, blocks_q: int):
+def _bwd_dkv_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                    delta_ref, dk_ref, dv_ref, *,
+                    offset: int, masked: bool, blocks_q: int, rate: float,
+                    tk_p: int):
+    b = pl.program_id(0)
     kj = pl.program_id(1)
+    kv_len = kvl_ref[b]
     k_blk = k_ref[0].astype(jnp.float32)                 # (BK, D)
     v_blk = v_ref[0].astype(jnp.float32)
     bk, d = k_blk.shape
     col = kj * BLOCK_K + jax.lax.broadcasted_iota(jnp.int32, (BLOCK_Q, bk), 1)
+    if rate > 0.0:
+        seed = seed_ref[0].astype(jnp.uint32)
+        inv_keep = jnp.float32(1.0 / (1.0 - rate))
 
     def body(qi, carry):
         dk, dv = carry
@@ -196,10 +266,16 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         if masked:
             ok = jnp.logical_and(ok, col <= row + offset)
         p = jnp.where(ok, jnp.exp(s - lse[:, None]), 0.0)
-        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+        if rate > 0.0:
+            keep = _keep_mask(seed, b, row, col, tk_p, rate)
+            pd = jnp.where(keep, p * inv_keep, 0.0)
+            dp = jnp.where(keep, dp * inv_keep, 0.0)
+        else:
+            pd = p
+        dv = dv + jax.lax.dot_general(pd, do, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
         ds = p * (dp - delta[:, None])
         dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
@@ -218,8 +294,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _bwd(masked, kv_len, offset, res, g):
-    q, k, v, out, lse = res
+def _bwd(masked, offset, rate, res, g):
+    q, k, v, kvl, seed, out, lse = res
     bh, tq, d = q.shape
     tk = k.shape[1]
     blocks_q = tq // BLOCK_Q
@@ -229,10 +305,12 @@ def _bwd(masked, kv_len, offset, res, g):
     delta = jnp.broadcast_to(delta[:, None, :], (bh, 8, tq))
 
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, kv_len=kv_len, offset=offset,
-                          masked=masked, blocks_k=blocks_k),
+        functools.partial(_bwd_dq_kernel, offset=offset, masked=masked,
+                          blocks_k=blocks_k, rate=rate, tk_p=tk),
         grid=(bh, blocks_q),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, tk, d), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, tk, d), lambda b, i: (b, 0, 0)),
@@ -242,13 +320,15 @@ def _bwd(masked, kv_len, offset, res, g):
         ],
         out_specs=pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
-        interpret=_interpret())(q, k, v, g, lse, delta)
+        interpret=_interpret())(kvl, seed, q, k, v, g, lse, delta)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, kv_len=kv_len, offset=offset,
-                          masked=masked, blocks_q=blocks_q),
+        functools.partial(_bwd_dkv_kernel, offset=offset, masked=masked,
+                          blocks_q=blocks_q, rate=rate, tk_p=tk),
         grid=(bh, blocks_k),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, tq, d), lambda b, j: (b, 0, 0)),
             pl.BlockSpec((1, BLOCK_K, d), lambda b, j: (b, j, 0)),
             pl.BlockSpec((1, BLOCK_K, d), lambda b, j: (b, j, 0)),
@@ -264,34 +344,40 @@ def _bwd(masked, kv_len, offset, res, g):
             jax.ShapeDtypeStruct((bh, tk, d), k.dtype),
             jax.ShapeDtypeStruct((bh, tk, d), v.dtype),
         ],
-        interpret=_interpret())(q, k, v, g, lse, delta)
-    return dq, dk, dv
+        interpret=_interpret())(kvl, seed, q, k, v, g, lse, delta)
+    return dq, dk, dv, None, None
 
 
 # ---------------------------------------------------------------------------
 # public entry
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash(q, k, v, masked: bool, kv_len: int, offset: int):
-    out, _ = _fwd(q, k, v, masked, kv_len, offset)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flash(q, k, v, kvl, seed, masked: bool, offset: int, rate: float):
+    out, _ = _fwd(q, k, v, kvl, seed, masked, offset, rate)
     return out
 
 
-def _flash_fwd(q, k, v, masked, kv_len, offset):
-    out, lse = _fwd(q, k, v, masked, kv_len, offset)
-    return out, (q, k, v, out, lse)
+def _flash_fwd(q, k, v, kvl, seed, masked, offset, rate):
+    out, lse = _fwd(q, k, v, kvl, seed, masked, offset, rate)
+    return out, (q, k, v, kvl, seed, out, lse)
 
 
 _flash.defvjp(_flash_fwd, _bwd)
 
 
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                    masked: bool = True) -> jax.Array:
+                    masked: bool = True,
+                    kv_lens: Optional[jax.Array] = None,
+                    dropout_rate: float = 0.0,
+                    dropout_seed: Optional[jax.Array] = None) -> jax.Array:
     """(B, Tq, H, D) x (B, Tk, H, D) -> (B, Tq, H, D); q pre-scaled.
 
     ``masked=True`` applies the offset band ``col <= row + |Tk - Tq|``
     computed from the *unpadded* lengths (ref: transformer.py:213).
+    ``kv_lens`` (B,) int32 masks per-sample right-padding (keys at
+    ``col >= kv_lens[b]``).  ``dropout_rate`` > 0 applies fused dropout on
+    the attention probabilities seeded by ``dropout_seed`` (scalar uint32).
     """
     B, Tq, H, D = q.shape
     Tk = k.shape[1]
@@ -305,6 +391,16 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         return jnp.pad(x, ((0, 0), (0, t_p - x.shape[1]), (0, d_p - D)))
 
     qf, kf, vf = prep(q, tq_p), prep(k, tk_p), prep(v, tk_p)
-    out = _flash(qf, kf, vf, masked, Tk, offset)
+    if kv_lens is None:
+        kvl = jnp.full((B * H,), Tk, jnp.int32)
+    else:
+        kvl = jnp.repeat(kv_lens.astype(jnp.int32), H)
+    if dropout_rate > 0.0:
+        assert dropout_seed is not None, \
+            "dropout_rate > 0 requires dropout_seed"
+        seed = jnp.asarray(dropout_seed, jnp.uint32).reshape((1,))
+    else:
+        seed = jnp.zeros((1,), jnp.uint32)
+    out = _flash(qf, kf, vf, kvl, seed, masked, offset, float(dropout_rate))
     out = out[:, :Tq, :D].reshape(B, H, Tq, D)
     return jnp.swapaxes(out, 1, 2)

@@ -85,3 +85,49 @@ def test_distil_config_runs():
     assert "token_type_embeddings" not in variables["params"]
     out = enc.apply(variables, ids, mask)
     assert out.shape == (2, 6, 32)
+
+
+def test_bert_pallas_path_matches_xla(monkeypatch):
+    """Flash path (kv_lens, interpret-mode kernel) == einsum path at eval."""
+    monkeypatch.setenv("BPX_FORCE_PALLAS", "1")
+    cfg = BertConfig.tiny()
+    B, T = 2, 128
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(rng.randint(1, cfg.vocab_size, (B, T)), jnp.int32)
+    # right-padded masks with different lengths per sample
+    lens = np.array([50, 128])
+    mask = jnp.asarray((np.arange(T)[None, :] < lens[:, None]).astype(np.int32))
+
+    xla = BertEncoder(cfg, attention_impl="xla")
+    pal = BertEncoder(cfg, attention_impl="pallas")
+    params = xla.init(jax.random.PRNGKey(0), ids, mask)["params"]
+    out_x = xla.apply({"params": params}, ids, mask)
+    out_p = pal.apply({"params": params}, ids, mask)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_bert_pallas_dropout_trains(monkeypatch):
+    """Flash path with in-kernel dropout: finite grads, seedwise determinism."""
+    monkeypatch.setenv("BPX_FORCE_PALLAS", "1")
+    cfg = BertConfig.tiny()
+    B, T = 2, 128
+    rng = np.random.RandomState(1)
+    ids = jnp.asarray(rng.randint(1, cfg.vocab_size, (B, T)), jnp.int32)
+    mask = jnp.ones((B, T), jnp.int32)
+    model = BertEncoder(cfg, attention_impl="pallas")
+    params = model.init(jax.random.PRNGKey(0), ids, mask)["params"]
+
+    def loss(p, key):
+        out = model.apply({"params": p}, ids, mask, deterministic=False,
+                          rngs={"dropout": key})
+        return jnp.sum(out ** 2)
+
+    key = jax.random.PRNGKey(3)
+    l1, g = jax.value_and_grad(loss)(params, key)
+    l2 = loss(params, key)
+    l3 = loss(params, jax.random.PRNGKey(4))
+    assert np.isfinite(float(l1))
+    assert float(l1) == float(l2)          # same rng -> same dropout
+    assert float(l1) != float(l3)          # different rng -> different mask
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))

@@ -80,3 +80,102 @@ def test_flash_gradients_rectangular():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-4, rtol=3e-4,
                                    err_msg=f"d{name} mismatch")
+
+
+# ---------------------------------------------------------------------------
+# per-sample key lengths (BERT right-padding)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_flash_kv_lens_matches_padded_bias():
+    from bpx.ops.masks import key_padding_bias
+    B, H, D, T = 2, 2, 64, 128
+    q, k, v = _mk(B, T, T, H, D, seed=5)
+    kv_lens = jnp.asarray([50, 128], jnp.int32)
+    mask01 = (jnp.arange(T)[None, :] < kv_lens[:, None]).astype(jnp.int32)
+    want = dot_product_attention(q, k, v, bias=key_padding_bias(mask01))
+    got = flash_attention(q, k, v, masked=False, kv_lens=kv_lens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# fused dropout: the keep mask is a pure function (_keep_mask), so the
+# reference path applies the *identical* mask after softmax — exact parity
+# for both forward values and gradients.
+# ---------------------------------------------------------------------------
+
+def _materialized_keep(seed, B, H, Tq, Tk, tk_p, rate):
+    from bpx.ops.pallas_attention import _keep_mask
+    bh = jnp.arange(B * H, dtype=jnp.int32).reshape(B, H, 1, 1)
+    row = jnp.arange(Tq, dtype=jnp.int32).reshape(1, 1, Tq, 1)
+    col = jnp.arange(Tk, dtype=jnp.int32).reshape(1, 1, 1, Tk)
+    return _keep_mask(jnp.uint32(seed), bh, row, col, tk_p, rate)
+
+
+def _dropout_reference(q, k, v, bias, keep, rate):
+    """einsum attention applying the materialized keep mask after softmax."""
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = jnp.where(keep, probs / (1.0 - rate), 0.0)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("masked", [False, True])
+def test_flash_dropout_exact_parity(masked):
+    B, H, D, T, rate, seed = 2, 2, 64, 128, 0.3, 1234
+    q, k, v = _mk(B, T, T, H, D, seed=6)
+    keep = _materialized_keep(seed, B, H, T, T, 128, rate)
+    bias = offset_future_mask(T, T) if masked else None
+
+    got = flash_attention(q, k, v, masked=masked, dropout_rate=rate,
+                          dropout_seed=jnp.uint32(seed))
+    want = _dropout_reference(q, k, v, bias, keep, rate)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+
+    # keep-rate sanity: mean keep ~ 1 - rate
+    frac = float(jnp.mean(keep.astype(jnp.float32)))
+    assert abs(frac - (1.0 - rate)) < 0.02, frac
+
+
+@pytest.mark.slow
+def test_flash_dropout_gradients_exact():
+    B, H, D, T, rate, seed = 1, 2, 64, 128, 0.25, 77
+    q, k, v = _mk(B, T, T, H, D, seed=7)
+    keep = _materialized_keep(seed, B, H, T, T, 128, rate)
+    bias = offset_future_mask(T, T)
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, masked=True, dropout_rate=rate,
+                              dropout_seed=jnp.uint32(seed))
+        return jnp.sum(out ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_dropout_reference(q, k, v, bias, keep, rate) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4,
+                                   err_msg=f"d{name} mismatch")
+
+
+@pytest.mark.slow
+def test_flash_dropout_seeds_differ():
+    B, H, D, T, rate = 1, 1, 64, 128, 0.3
+    q, k, v = _mk(B, T, T, H, D, seed=8)
+    a = flash_attention(q, k, v, masked=False, dropout_rate=rate,
+                        dropout_seed=jnp.uint32(1))
+    a2 = flash_attention(q, k, v, masked=False, dropout_rate=rate,
+                         dropout_seed=jnp.uint32(1))
+    b = flash_attention(q, k, v, masked=False, dropout_rate=rate,
+                        dropout_seed=jnp.uint32(2))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(a2))
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-4
