@@ -77,6 +77,69 @@ class VGG16Extractor:
                 torch.as_tensor(images, dtype=torch.float32)).numpy()
 
 
+class FasterRCNNExtractor:
+    """RoI box features + boxes from a Faster R-CNN FPN detector.
+
+    (ref: image.py:56-110 ``ImageEncoderFasterRCNN``) The reference pools
+    detectron2 ``StandardROIHeads`` box features for the RPN proposals and
+    keeps the first ``num_image_embeds`` proposals per image (RPN proposals
+    arrive objectness-sorted; ref: image.py:85-93), returning the fc box
+    features plus the (x1, y1, x2, y2, area) box tensor.
+
+    Divergences (documented): torchvision's ``fasterrcnn_resnet50_fpn``
+    replaces detectron2 (same R50-FPN architecture, COCO-trained); its
+    ``box_head`` representation is 1024-d (the reference overrides
+    detectron2's FC_DIM to 2048, which its released checkpoint does not
+    actually carry).  Images with fewer than ``num_embeds`` proposals are
+    zero-padded instead of crashing.
+    """
+
+    def __init__(self, num_embeds: int = 100, min_size: int = 800,
+                 max_size: int = 1333, weights: Optional[str] = "DEFAULT"):
+        torch, torchvision = _require_torchvision()
+        from torchvision.models.detection import fasterrcnn_resnet50_fpn
+        self._torch = torch
+        self.num_embeds = num_embeds
+        self._model = fasterrcnn_resnet50_fpn(
+            weights=weights, box_score_thresh=0.0,
+            min_size=min_size, max_size=max_size).eval()
+
+    def __call__(self, images) -> "tuple[np.ndarray, np.ndarray]":
+        """[(3, H, W) float array, ...] -> ((B, N, 1024), (B, N, 5)).
+
+        Feature rows align with the returned boxes; the 5th box column is
+        the area (ref: image.py:96-99).
+        """
+        torch = self._torch
+        m = self._model
+        with torch.no_grad():
+            imgs = [torch.as_tensor(im, dtype=torch.float32) for im in images]
+            tformed, _ = m.transform(imgs, None)
+            features = m.backbone(tformed.tensors)
+            proposals, _ = m.rpn(tformed, features, None)
+            pooled = m.roi_heads.box_roi_pool(
+                features, proposals, tformed.image_sizes)
+            box_feats = m.roi_heads.box_head(pooled)     # (sum N_i, 1024)
+
+            n = self.num_embeds
+            feat_dim = box_feats.shape[-1]
+            out_f, out_b = [], []
+            idx = 0
+            for boxes in proposals:
+                take = min(n, len(boxes))
+                f = box_feats[idx:idx + take]
+                b = boxes[:take]
+                area = ((b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1]))[:, None]
+                b = torch.cat([b, area], dim=1)
+                if take < n:
+                    f = torch.cat([f, f.new_zeros(n - take, feat_dim)])
+                    b = torch.cat([b, b.new_zeros(n - take, 5)])
+                out_f.append(f)
+                out_b.append(b)
+                idx += len(boxes)
+            return (torch.stack(out_f).numpy(), torch.stack(out_b).numpy())
+
+
 def extract_to_pickles(extractor, items: Iterable, out_dir: str):
     """Run ``extractor`` over (id, image_array) pairs, writing ``{id}.p``
     pickles in the layout the data adapters read (ref: dataset.py:94-104)."""
@@ -130,3 +193,30 @@ def preprocess_image(image: np.ndarray,
     img = img[top:top + crop, left:left + crop]
     img = (img - np.asarray(mean)) / np.asarray(std)
     return img.transpose(2, 0, 1).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Image-only classifier head (ref: image.py:128-139 ``ImageClf``)
+# ---------------------------------------------------------------------------
+
+def make_image_clf(n_classes: int):
+    """Flax ``ImageClf`` equivalent: flatten (B, N, D) image features and
+    apply one linear head (ref: image.py:128-139).
+
+    Divergence (documented): the reference runs its ResNet152 encoder inside
+    the torch module; here extraction is the offline host-side
+    :class:`ResNet152Extractor` (the TPU-native split — SURVEY.md §2 C7) and
+    the head consumes the precomputed features.
+    """
+    import flax.linen as nn
+
+    class ImageClf(nn.Module):
+        n_classes: int
+
+        @nn.compact
+        def __call__(self, feats):
+            B = feats.shape[0]
+            return nn.Dense(self.n_classes, name="clf")(
+                feats.reshape(B, -1))
+
+    return ImageClf(n_classes)
