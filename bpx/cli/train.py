@@ -111,6 +111,10 @@ def get_args(parser: argparse.ArgumentParser):
                         choices=["bfloat16", "float32"])
     parser.add_argument("--attention_impl", type=str, default="xla",
                         choices=["xla", "pallas"])
+    parser.add_argument("--fusion", type=str, default="gmu",
+                        choices=["gmu", "mag"],
+                        help="final fusion on mmtrvat: GMU (reference "
+                             "default) or MAG (ref: mmtr.py:10,355-358)")
     parser.add_argument("--use_audio_encoder", type=str, default="auto",
                         choices=["auto", "1", "0"],
                         help="conv audio encoder; auto = moviescope+mmtrvapt "
@@ -195,6 +199,7 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
         freeze_bert=args.freeze_txt > 0,
         compute_dtype=args.compute_dtype,
         attention_impl=args.attention_impl,
+        fusion=args.fusion,
         scan_layers=args.scan_layers, remat=args.remat)
     data = DataConfig(
         task=args.task, task_type=args.task_type, data_path=args.data_path,

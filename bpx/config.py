@@ -120,6 +120,10 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"
     # Attention backend: "xla" (einsum) or "pallas" (flash kernel).
     attention_impl: str = "xla"
+    # Final fusion: "gmu" (reference default) or "mag" — the Multimodal
+    # Adaptation Gate the reference keeps as a dead-code GMU substitute
+    # (ref: mmtr.py:10,355-358); selectable on mmtrvat.
+    fusion: str = "gmu"
     # Compile/memory controls: scan_layers folds encoder depth into one
     # lax.scan body (HLO-size/compile-time win); remat wraps each layer in
     # jax.checkpoint (activation-memory win for large batch/seq).

@@ -376,6 +376,10 @@ class BPMulTVAPT(_BPMulTBase):
         assert cfg.num_vectors_a == cfg.num_vectors_v, \
             "mmtrvapt assumes num_vectors_a == num_vectors_v (the reference " \
             "passes v-length streams into a/v GMUs untransformed, mmtr.py:531,554)"
+        assert cfg.fusion == "gmu", \
+            "fusion='mag' is only wired on mmtrvat (MAG takes exactly " \
+            "text/visual/acoustic; the 4-input poster path has no " \
+            "reference-sanctioned MAG wiring)"
 
         remat_bert = cfg.remat if cfg.remat_bert is None else cfg.remat_bert
         self.bert = BertEncoder(cfg.bert, dtype=dt, scan_layers=cfg.scan_layers,
@@ -519,8 +523,18 @@ class BPMulTVAT(_BPMulTBase):
         self._make_crossmodal_mesh(biprojection_second_round=False)
         self._make_gmus()
 
-        n_final = 4 if cfg.hybrid else 3
-        self.gmu = GatedNModalLayer(n_final, cfg.hidden_sz, dt, name="gmu")
+        if cfg.fusion == "mag":
+            # MAG substitutes the final GMU (ref: mmtr.py:10 "tries to
+            # substitute the GMU module", dead call sites mmtr.py:355-358;
+            # beta_shift/dropout from the commented defaults at 356).
+            assert not cfg.hybrid, "fusion='mag' is incompatible with hybrid"
+            from bpx.ops.mag import MAG
+            self.mag = MAG(cfg.hidden_sz, beta_shift=1e-3, dropout_prob=0.5,
+                           dtype=dt, name="mag")
+        else:
+            n_final = 4 if cfg.hybrid else 3
+            self.gmu = GatedNModalLayer(n_final, cfg.hidden_sz, dt,
+                                        name="gmu")
         if cfg.hybrid:
             self._make_hybrid()
         self._make_head()
@@ -569,10 +583,15 @@ class BPMulTVAT(_BPMulTBase):
                                      h_l_with_as, h_a_with_ls,
                                      self.gmu_v_m, self.gmu_v)
 
-        inputs = [last_h_l, last_h_v, last_h_a]
-        if cfg.hybrid:
-            inputs.append(last_h_early)
-        last_hs, z = self.gmu(inputs)
+        if cfg.fusion == "mag":
+            last_hs, z = self.mag(last_h_l, last_h_v, last_h_a,
+                                  deterministic=deterministic,
+                                  return_alpha=True)
+        else:
+            inputs = [last_h_l, last_h_v, last_h_a]
+            if cfg.hybrid:
+                inputs.append(last_h_early)
+            last_hs, z = self.gmu(inputs)
 
         logits = self._head(last_hs, deterministic)
         if output_gates:

@@ -27,7 +27,8 @@ class MAG(nn.Module):
     @nn.compact
     def __call__(self, text_embedding: jax.Array, visual: jax.Array,
                  acoustic: jax.Array,
-                 deterministic: bool = True) -> jax.Array:
+                 deterministic: bool = True,
+                 return_alpha: bool = False):
         eps = 1e-6
         dense = lambda name: nn.Dense(self.hidden_size, dtype=self.dtype,
                                       name=name)
@@ -47,4 +48,7 @@ class MAG(nn.Module):
             keep = jax.random.bernoulli(self.make_rng("dropout"),
                                         1.0 - self.dropout_prob, out.shape)
             out = out * keep.astype(out.dtype) / (1.0 - self.dropout_prob)
+        if return_alpha:
+            # the adaptation-gate magnitude, exposed like the GMU's z gates
+            return out, alpha[..., None]
         return out

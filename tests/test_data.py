@@ -289,3 +289,87 @@ def test_jsonl_dataset_mosei_layout(tmp_path):
     assert b["video"].shape == (2, 30, 35)
     assert b["audio"].shape == (2, 30, 74)
     assert "poster" not in b
+
+
+def test_jsonl_dataset_counseling_layout(tmp_path):
+    """Counseling layout: glove/{id}.p dict pickles as video and
+    fasttext/{id}.p dict pickles as audio, both stored with a leading
+    singleton axis (ref: dataset.py:120-124,187-190)."""
+    import pickle
+    task_dir = tmp_path / "counseling"
+    (task_dir / "glove").mkdir(parents=True)
+    (task_dir / "fasttext").mkdir()
+    rng = np.random.RandomState(0)
+    records = []
+    for sid in ["c1", "c2"]:
+        records.append({"id": sid, "synopsis": f"session {sid}",
+                        "label": "good"})
+        with open(task_dir / "glove" / f"{sid}.p", "wb") as f:
+            pickle.dump({"glove": rng.randn(1, 24, 300).astype(np.float32)}, f)
+        with open(task_dir / "fasttext" / f"{sid}.p", "wb") as f:
+            pickle.dump({"fastText": rng.randn(1, 24, 100).astype(np.float32)},
+                        f)
+    for split in ["train", "dev", "test"]:
+        with open(task_dir / f"{split}.jsonl", "w") as f:
+            for r in records:
+                f.write(json.dumps(r) + "\n")
+
+    exp = get_preset("synthetic-tiny")
+    import dataclasses
+    dcfg = dataclasses.replace(exp.data, task="counseling",
+                               task_type="classification",
+                               data_path=str(tmp_path), batch_sz=2,
+                               audio_raw_len=24, video_len=24)
+    mcfg = exp.model.replace(orig_d_v=300, orig_d_a=100, n_classes=1,
+                             use_audio_encoder=False, use_poster=False,
+                             model="mmtrvat")
+    train, _, _, meta = get_data_loaders(dcfg, mcfg, seed=0)
+    b = next(iter(train))
+    assert b["video"].shape == (2, 24, 300)
+    assert b["audio"].shape == (2, 24, 100)
+    assert "poster" not in b
+
+
+def test_jsonl_dataset_mosi_table_layout(tmp_path):
+    """CMU-MOSI layout: one whole-dataset mosi_data.pkl indexed by
+    (part, id) for vision and audio; float regression labels
+    (ref: dataset.py:137-145,172-179)."""
+    import pickle
+    task_dir = tmp_path / "cmu-mosi"
+    task_dir.mkdir()
+    rng = np.random.RandomState(0)
+    table = {}
+    for part in ["train", "dev", "test"]:
+        table[part] = {
+            "vision": rng.randn(3, 20, 35).astype(np.float32),
+            "audio": rng.randn(3, 20, 5).astype(np.float32),
+        }
+    with open(task_dir / "mosi_data.pkl", "wb") as f:
+        pickle.dump(table, f)
+    for split in ["train", "dev", "test"]:
+        with open(task_dir / f"{split}.jsonl", "w") as f:
+            for i in range(2):
+                f.write(json.dumps({"id": i, "part": split,
+                                    "synopsis": f"utt {i}",
+                                    "label": 1.5 - i}) + "\n")
+
+    exp = get_preset("synthetic-tiny")
+    import dataclasses
+    dcfg = dataclasses.replace(exp.data, task="cmu-mosi",
+                               task_type="classification",
+                               data_path=str(tmp_path), batch_sz=2,
+                               audio_raw_len=20, video_len=20)
+    mcfg = exp.model.replace(orig_d_v=35, orig_d_a=5, n_classes=1,
+                             use_audio_encoder=False, use_poster=False,
+                             model="mmtrvat")
+    train, _, _, meta = get_data_loaders(dcfg, mcfg, seed=0)
+    b = next(iter(train))
+    assert b["video"].shape == (2, 20, 35)
+    assert b["audio"].shape == (2, 20, 5)
+    # regression labels come through as floats, matching the jsonl
+    assert b["target"].dtype == np.float32
+    assert set(np.asarray(b["target"]).tolist()) == {1.5, 0.5}
+    # feature rows match the (part, id) table entries exactly
+    np.testing.assert_allclose(
+        np.sort(np.asarray(b["video"]), axis=0),
+        np.sort(table["train"]["vision"][:2], axis=0), rtol=1e-6)

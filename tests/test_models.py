@@ -160,3 +160,22 @@ def test_jit_forward():
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(m.apply(variables, *batch)),
                                atol=1e-5)
+
+
+def test_vat_mag_fusion_forward_and_gates():
+    """fusion='mag' substitutes the final GMU on mmtrvat
+    (ref: mmtr.py:10,355-358)."""
+    import jax
+    cfg = _tiny_vat(fusion="mag")
+    model = MODELS[cfg.model](cfg)
+    batch = _vat_batch(cfg)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, *batch)
+    assert "mag" in variables["params"] and "gmu" not in variables["params"]
+    logits, z = model.apply(variables, *batch, output_gates=True)
+    assert logits.shape == (2, cfg.n_classes)
+    assert z.shape == (2, 1)
+    assert np.isfinite(np.asarray(logits)).all()
+    # training mode exercises MAG's internal dropout
+    out = model.apply(variables, *batch, deterministic=False,
+                      rngs={"dropout": jax.random.PRNGKey(1)})
+    assert np.isfinite(np.asarray(out)).all()
