@@ -19,6 +19,10 @@ from bpx.ops.encoder import TransformerEncoder, TransformerEncoderLayer
 
 
 def _t(x):
+    # passthrough keeps the oracles differentiable when the param tree has
+    # been torchified with requires_grad leaves (test_train_parity)
+    if isinstance(x, torch.Tensor):
+        return x
     return torch.tensor(np.asarray(x, dtype=np.float32))
 
 
