@@ -120,6 +120,9 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"
     # Attention backend: "xla" (einsum) or "pallas" (flash kernel).
     attention_impl: str = "xla"
+    # BERT's backend may differ (None inherits attention_impl): its
+    # head_dim 64 and key-padding profile trade off differently.
+    bert_attention_impl: Optional[str] = None
     # Final fusion: "gmu" (reference default) or "mag" — the Multimodal
     # Adaptation Gate the reference keeps as a dead-code GMU substitute
     # (ref: mmtr.py:10,355-358); selectable on mmtrvat.

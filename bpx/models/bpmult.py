@@ -384,7 +384,8 @@ class BPMulTVAPT(_BPMulTBase):
         remat_bert = cfg.remat if cfg.remat_bert is None else cfg.remat_bert
         self.bert = BertEncoder(cfg.bert, dtype=dt, scan_layers=cfg.scan_layers,
                                 remat=remat_bert,
-                                attention_impl=cfg.attention_impl,
+                                attention_impl=(cfg.bert_attention_impl
+                                                or cfg.attention_impl),
                                 name="bert")
         if cfg.use_audio_encoder:
             self.audio_enc = make_audio_encoder(
@@ -508,7 +509,8 @@ class BPMulTVAT(_BPMulTBase):
         remat_bert = cfg.remat if cfg.remat_bert is None else cfg.remat_bert
         self.bert = BertEncoder(cfg.bert, dtype=dt, scan_layers=cfg.scan_layers,
                                 remat=remat_bert,
-                                attention_impl=cfg.attention_impl,
+                                attention_impl=(cfg.bert_attention_impl
+                                                or cfg.attention_impl),
                                 name="bert")
         dense_nb = lambda feat, name: nn.Dense(
             feat, use_bias=False, dtype=dt,

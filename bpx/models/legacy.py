@@ -50,7 +50,8 @@ class MulTGMUClf(_BPMulTBase):
         remat_bert = cfg.remat if cfg.remat_bert is None else cfg.remat_bert
         self.bert = BertEncoder(cfg.bert, dtype=dt, scan_layers=cfg.scan_layers,
                                 remat=remat_bert,
-                                attention_impl=cfg.attention_impl,
+                                attention_impl=(cfg.bert_attention_impl
+                                                or cfg.attention_impl),
                                 name="bert")
         if cfg.use_audio_encoder:
             self.audio_enc = make_audio_encoder(
@@ -139,7 +140,8 @@ class TranslatingMMTGMUClf(_BPMulTBase):
         remat_bert = cfg.remat if cfg.remat_bert is None else cfg.remat_bert
         self.bert = BertEncoder(cfg.bert, dtype=dt, scan_layers=cfg.scan_layers,
                                 remat=remat_bert,
-                                attention_impl=cfg.attention_impl,
+                                attention_impl=(cfg.bert_attention_impl
+                                                or cfg.attention_impl),
                                 name="bert")
         if cfg.use_audio_encoder:
             self.audio_enc = make_audio_encoder(
@@ -224,7 +226,8 @@ class GMUClf(_BPMulTBase):
         remat_bert = cfg.remat if cfg.remat_bert is None else cfg.remat_bert
         self.bert = BertEncoder(cfg.bert, dtype=dt, with_pooler=True,
                                 scan_layers=cfg.scan_layers, remat=remat_bert,
-                                attention_impl=cfg.attention_impl,
+                                attention_impl=(cfg.bert_attention_impl
+                                                or cfg.attention_impl),
                                 name="bert")
         if cfg.use_audio_encoder:
             self.audio_enc = make_audio_encoder(
@@ -281,7 +284,8 @@ class GMUBimodalClf(_BPMulTBase):
         remat_bert = cfg.remat if cfg.remat_bert is None else cfg.remat_bert
         self.bert = BertEncoder(cfg.bert, dtype=dt, with_pooler=True,
                                 scan_layers=cfg.scan_layers, remat=remat_bert,
-                                attention_impl=cfg.attention_impl,
+                                attention_impl=(cfg.bert_attention_impl
+                                                or cfg.attention_impl),
                                 name="bert")
         if cfg.orig_d_v != cfg.hidden_sz:
             self.proj_v = nn.Dense(

@@ -1,0 +1,98 @@
+"""Perf probe: p50 train-step latency for arbitrary ModelConfig overrides.
+
+A/B harness behind bench.py — same measurement protocol (per-step host
+sync, median), plus optional jax.profiler trace capture.  Usage:
+
+  python scripts/perf_probe.py --attention_impl pallas \
+      --bert_attention_impl xla --steps 8
+  python scripts/perf_probe.py --profile_dir /tmp/trace --steps 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--attention_impl", default=None)
+    p.add_argument("--bert_attention_impl", default=None)
+    p.add_argument("--remat", type=int, default=None)
+    p.add_argument("--remat_bert", type=int, default=None)
+    p.add_argument("--group_encoders", type=int, default=None)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--steps", type=int, default=8)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--profile_dir", default=None)
+    args = p.parse_args()
+
+    import bench
+    bench.BATCH = args.batch
+    exp = bench.bench_config()
+    over = {}
+    for key in ("attention_impl", "bert_attention_impl"):
+        if getattr(args, key) is not None:
+            over[key] = getattr(args, key)
+    for key in ("remat", "remat_bert", "group_encoders"):
+        if getattr(args, key) is not None:
+            over[key] = bool(getattr(args, key))
+    if over:
+        exp = exp.replace(model=exp.model.replace(**over))
+    sys.stderr.write(f"overrides: {over}\n")
+
+    import jax
+    import jax.numpy as jnp
+    from bpx.models import get_model
+    from bpx.train.losses import make_loss_fn
+    from bpx.train.optim import make_optimizer
+    from bpx.train.state import TrainState
+    from bpx.train.steps import make_train_step
+
+    model = get_model(exp.model)
+    host = bench._example_batch(exp, args.batch)
+    batch = {k: jnp.asarray(v[None]) for k, v in host.items()}
+    inputs = (batch["txt"][0], batch["mask"][0], batch["segment"][0],
+              batch["video"][0], batch["audio"][0], batch["poster"][0])
+    params = model.init({"params": jax.random.PRNGKey(0)}, *inputs)["params"]
+    tx = make_optimizer(1e-4)
+    state = TrainState.create(params, tx)
+    loss_fn = make_loss_fn("moviescope", "multilabel", False)
+    step = jax.jit(make_train_step(model, exp.model.model, loss_fn, tx,
+                                   grad_accum=1), donate_argnums=(0,))
+    rng = jax.random.key(0, impl="rbg")
+
+    t_c = time.perf_counter()
+    for _ in range(args.warmup):
+        state, metrics = step(state, batch, rng)
+        float(metrics["loss"])
+    sys.stderr.write(f"compile+warmup: {time.perf_counter()-t_c:.0f}s\n")
+
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+
+    times = []
+    for _ in range(args.steps):
+        t0 = time.perf_counter()
+        state, metrics = step(state, batch, rng)
+        float(metrics["loss"])
+        times.append(time.perf_counter() - t0)
+
+    if args.profile_dir:
+        jax.profiler.stop_trace()
+
+    p50 = sorted(times)[len(times) // 2]
+    print(json.dumps({"p50_ms": round(p50 * 1000, 1),
+                      "samples_per_sec": round(args.batch / p50, 2),
+                      "overrides": over}))
+
+
+if __name__ == "__main__":
+    main()
