@@ -100,7 +100,10 @@ def _fwd_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
     b = pl.program_id(0)
     qi = pl.program_id(1)
     kv_len = kvl_ref[b]
-    q = q_ref[0].astype(jnp.float32)                    # (BQ, D)
+    # operands stay in the input dtype (bf16 on TPU): the MXU multiplies
+    # bf16 natively and accumulates fp32 via preferred_element_type —
+    # casting inputs to fp32 would force the slow fp32-matmul decomposition
+    q = q_ref[0]                                        # (BQ, D)
     bq, d = q.shape
 
     row = qi * BLOCK_Q + jax.lax.broadcasted_iota(jnp.int32, (bq, BLOCK_K), 0)
@@ -110,8 +113,8 @@ def _fwd_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
 
     def body(kj, carry):
         acc, m_prev, l_prev = carry
-        k_blk = k_ref[0, pl.ds(kj * BLOCK_K, BLOCK_K), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(kj * BLOCK_K, BLOCK_K), :].astype(jnp.float32)
+        k_blk = k_ref[0, pl.ds(kj * BLOCK_K, BLOCK_K), :]
+        v_blk = v_ref[0, pl.ds(kj * BLOCK_K, BLOCK_K), :]
         s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         col = kj * BLOCK_K + jax.lax.broadcasted_iota(
@@ -130,8 +133,10 @@ def _fwd_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         if rate > 0.0:
             keep = _keep_mask(seed, b, row, col, tk_p, rate)
             p = jnp.where(keep, p * inv_keep, 0.0)
+        # probs cast to the compute dtype before the PV product — the same
+        # numerics as the einsum path (attention.py:47-52)
         acc = acc * alpha[:, None] + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())),
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return acc, m_new, l_new
 
@@ -197,8 +202,8 @@ def _bwd_dq_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     b = pl.program_id(0)
     qi = pl.program_id(1)
     kv_len = kvl_ref[b]
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    do = do_ref[0]
     lse = lse_ref[0, 0]
     delta = delta_ref[0, 0]
     bq, d = q.shape
@@ -208,8 +213,8 @@ def _bwd_dq_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         inv_keep = jnp.float32(1.0 / (1.0 - rate))
 
     def body(kj, dq):
-        k_blk = k_ref[0, pl.ds(kj * BLOCK_K, BLOCK_K), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(kj * BLOCK_K, BLOCK_K), :].astype(jnp.float32)
+        k_blk = k_ref[0, pl.ds(kj * BLOCK_K, BLOCK_K), :]
+        v_blk = v_ref[0, pl.ds(kj * BLOCK_K, BLOCK_K), :]
         s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         col = kj * BLOCK_K + jax.lax.broadcasted_iota(
@@ -223,7 +228,7 @@ def _bwd_dq_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         if rate > 0.0:
             keep = _keep_mask(seed, b, row, col, tk_p, rate)
             dp = jnp.where(keep, dp * inv_keep, 0.0)
-        ds = p * (dp - delta[:, None])
+        ds = (p * (dp - delta[:, None])).astype(k_blk.dtype)
         return dq + jax.lax.dot_general(ds, k_blk, (((1,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
 
@@ -244,8 +249,8 @@ def _bwd_dkv_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     b = pl.program_id(0)
     kj = pl.program_id(1)
     kv_len = kvl_ref[b]
-    k_blk = k_ref[0].astype(jnp.float32)                 # (BK, D)
-    v_blk = v_ref[0].astype(jnp.float32)
+    k_blk = k_ref[0]                                     # (BK, D)
+    v_blk = v_ref[0]
     bk, d = k_blk.shape
     col = kj * BLOCK_K + jax.lax.broadcasted_iota(jnp.int32, (BLOCK_Q, bk), 1)
     if rate > 0.0:
@@ -254,8 +259,8 @@ def _bwd_dkv_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
     def body(qi, carry):
         dk, dv = carry
-        q = q_ref[0, pl.ds(qi * BLOCK_Q, BLOCK_Q), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(qi * BLOCK_Q, BLOCK_Q), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(qi * BLOCK_Q, BLOCK_Q), :]
+        do = do_ref[0, pl.ds(qi * BLOCK_Q, BLOCK_Q), :]
         lse = lse_ref[0, 0, pl.ds(qi * BLOCK_Q, BLOCK_Q)]
         delta = delta_ref[0, 0, pl.ds(qi * BLOCK_Q, BLOCK_Q)]
         s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
@@ -274,9 +279,10 @@ def _bwd_dkv_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
             dp = jnp.where(keep, dp * inv_keep, 0.0)
         else:
             pd = p
-        dv = dv + jax.lax.dot_general(pd, do, (((0,), (0,)), ((), ())),
+        dv = dv + jax.lax.dot_general(pd.astype(do.dtype), do,
+                                      (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
-        ds = p * (dp - delta[:, None])
+        ds = (p * (dp - delta[:, None])).astype(q.dtype)
         dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
         return dk, dv
