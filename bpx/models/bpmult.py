@@ -272,9 +272,8 @@ class _BPMulTBase(nn.Module):
     def _dropout(self, x, rate, deterministic):
         if rate <= 0.0 or deterministic:
             return x
-        keep = jax.random.bernoulli(self.make_rng("dropout"), 1.0 - rate,
-                                    x.shape)
-        return x * keep.astype(x.dtype) / (1.0 - rate)
+        from bpx.ops.dropout import hash_dropout
+        return hash_dropout(x, rate, self.make_rng("dropout"))
 
     def _encode_streams(self, txt, mask, segment, video, audio,
                         deterministic):

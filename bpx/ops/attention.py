@@ -46,9 +46,8 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         scores = scores + bias.astype(jnp.float32)
     probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
     if dropout_rate > 0.0 and not deterministic:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
-                                    probs.shape)
-        probs = probs * keep.astype(dtype) / (1.0 - dropout_rate)
+        from bpx.ops.dropout import hash_dropout
+        probs = hash_dropout(probs, dropout_rate, dropout_rng)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v,
                       preferred_element_type=jnp.float32).astype(dtype)
 

@@ -66,10 +66,9 @@ class BertSelfAttention(nn.Module):
             scores = scores + bias.astype(jnp.float32)
         probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
         if cfg.attention_dropout > 0 and not deterministic:
-            keep = jax.random.bernoulli(self.make_rng("dropout"),
-                                        1.0 - cfg.attention_dropout,
-                                        probs.shape)
-            probs = probs * keep.astype(probs.dtype) / (1.0 - cfg.attention_dropout)
+            from bpx.ops.dropout import hash_dropout
+            probs = hash_dropout(probs, cfg.attention_dropout,
+                                 self.make_rng("dropout"))
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
                          preferred_element_type=jnp.float32).astype(self.dtype)
         return ctx.reshape(B, T, cfg.hidden_size)
@@ -89,9 +88,9 @@ class BertLayer(nn.Module):
         def dropout(x):
             if cfg.hidden_dropout <= 0 or deterministic:
                 return x
-            keep = jax.random.bernoulli(self.make_rng("dropout"),
-                                        1.0 - cfg.hidden_dropout, x.shape)
-            return x * keep.astype(x.dtype) / (1.0 - cfg.hidden_dropout)
+            from bpx.ops.dropout import hash_dropout
+            return hash_dropout(x, cfg.hidden_dropout,
+                                self.make_rng("dropout"))
 
         attn_out = BertSelfAttention(cfg, self.dtype, self.attention_impl,
                                      name="attention")(
@@ -152,9 +151,9 @@ class BertEncoder(nn.Module):
         hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                               name="embeddings_norm")(hidden)
         if cfg.hidden_dropout > 0 and not deterministic:
-            keep = jax.random.bernoulli(self.make_rng("dropout"),
-                                        1.0 - cfg.hidden_dropout, hidden.shape)
-            hidden = hidden * keep.astype(hidden.dtype) / (1.0 - cfg.hidden_dropout)
+            from bpx.ops.dropout import hash_dropout
+            hidden = hash_dropout(hidden, cfg.hidden_dropout,
+                                  self.make_rng("dropout"))
 
         pallas = self.attention_impl == "pallas"
         # Flash path: per-sample lengths replace the (B, 1, 1, T) additive

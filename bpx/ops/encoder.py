@@ -73,9 +73,8 @@ class TransformerEncoderLayer(nn.Module):
     def _dropout(self, x, rate, deterministic):
         if rate <= 0.0 or deterministic:
             return x
-        keep = jax.random.bernoulli(self.make_rng("dropout"), 1.0 - rate,
-                                    x.shape)
-        return x * keep.astype(x.dtype) / (1.0 - rate)
+        from bpx.ops.dropout import hash_dropout
+        return hash_dropout(x, rate, self.make_rng("dropout"))
 
     def __call__(self, x: jax.Array,
                  x_k: Optional[jax.Array] = None,
@@ -193,9 +192,8 @@ class TransformerEncoder(nn.Module):
     def _dropout(self, x, rate, deterministic):
         if rate <= 0.0 or deterministic:
             return x
-        keep = jax.random.bernoulli(self.make_rng("dropout"), 1.0 - rate,
-                                    x.shape)
-        return x * keep.astype(x.dtype) / (1.0 - rate)
+        from bpx.ops.dropout import hash_dropout
+        return hash_dropout(x, rate, self.make_rng("dropout"))
 
     def _embed(self, x_in, deterministic):
         # Scale + channel-0-keyed positions (ref: transformer.py:66-68).

@@ -45,9 +45,9 @@ class MAG(nn.Module):
         fused = alpha[..., None] * h_m + text_embedding
         out = nn.LayerNorm(dtype=self.dtype, name="norm")(fused)
         if self.dropout_prob > 0 and not deterministic:
-            keep = jax.random.bernoulli(self.make_rng("dropout"),
-                                        1.0 - self.dropout_prob, out.shape)
-            out = out * keep.astype(out.dtype) / (1.0 - self.dropout_prob)
+            from bpx.ops.dropout import hash_dropout
+            out = hash_dropout(out, self.dropout_prob,
+                               self.make_rng("dropout"))
         if return_alpha:
             # the adaptation-gate magnitude, exposed like the GMU's z gates
             return out, alpha[..., None]

@@ -3,40 +3,45 @@
 Implements the reference's exact attention semantics
 (ref: multihead_attention.py:10-158 — q pre-scaled, fp32 softmax, dropout on
 the attention probabilities; ref: transformer.py:209-216 — rectangular offset
-future-mask ``col <= row + |Tk - Tq|``) as FlashAttention-2 style tiled
-kernels:
+future-mask ``col <= row + |Tk - Tq|``) as tiled TPU kernels.
 
-* forward: online-softmax over key blocks, band applied analytically per
-  tile (the (Tq, Tk) mask matrix is never materialised), saves the
-  logsumexp for the backward;
-* backward: two kernels — dQ (grid over Q blocks, scan over K blocks) and
-  dK/dV (grid over K blocks, scan over Q blocks) — recomputing P from the
-  saved logsumexp; fp32 accumulation throughout.
+Two statically-selected regimes:
 
-**Fused dropout** (ref: multihead_attention.py:123 — ``F.dropout`` on the
-softmax probabilities): the keep mask is a *stateless counter-based hash*
-(murmur3 finalizer over the global (batch·head, row, col) element index mixed
-with a per-call seed).  The same mask is therefore recomputable in every
-backward kernel regardless of tile iteration order, costs a handful of VPU
-integer ops per element, never touches HBM, and behaves identically under
-Pallas interpret mode (CPU tests) and on real TPUs.  The softmax denominator
-is computed from the *undropped* probabilities, matching dropout-after-softmax
-semantics.  Divergence note: the Bernoulli(keep) stream differs from torch's
-RNG — same distribution, different draws (documented in PARITY.md).
+* **single-pass** (``Tk <= 1024`` — every shape in the reference configs):
+  the whole key range lives in one VMEM tile, so the softmax is computed
+  directly (max / exp / sum once) with no online rescaling — roughly half
+  the VPU work of the online form, which matters because these kernels are
+  VPU-bound at short sequence lengths;
+* **online** (longer Tk): FlashAttention-2 style online-softmax over key
+  blocks with analytic band skipping (key blocks entirely above the band are
+  skipped — the causal-flash win generalised to the rectangular offset).
 
-**Per-sample key lengths** (``kv_lens``): BERT-style right-padded batches are
-masked analytically from a per-sample length instead of an additive
-(B, 1, 1, Tk) bias (ref: the HF attention-mask bias).  Requires the padding
-to be a contiguous suffix — guaranteed by ``bpx.data.collate``.
+backward: two kernels — dQ (grid over Q blocks) and dK/dV (grid over K
+blocks) — recomputing P from the saved logsumexp; fp32 accumulation, bf16
+matmul operands (the MXU multiplies bf16 natively; fp32 operands would
+force the slow decomposition).
 
-Banded skipping: key blocks entirely above the band are skipped, so the
-square-masked case does ~half the work — the standard causal-flash win,
-generalised to the rectangular offset band.
+**Fused dropout** (ref: multihead_attention.py:123): the keep mask is a
+stateless counter-based hash (murmur3 finalizer over the global
+(batch·head, row, col) element index mixed with a per-call seed), so the
+identical mask is recomputable in every backward kernel regardless of tile
+iteration order, costs a handful of VPU integer ops per element, never
+touches HBM, and behaves identically under Pallas interpret mode (CPU
+tests) and on real TPUs.  The softmax denominator is computed from the
+*undropped* probabilities (dropout-after-softmax semantics).  Divergence:
+the Bernoulli(keep) stream differs from torch's RNG — same distribution,
+different draws (PARITY.md).
+
+**Per-sample key lengths** (``kv_lens``): BERT-style right-padded batches
+are masked analytically from a per-sample length instead of an additive
+(B, 1, 1, Tk) bias.  Requires padding to be a contiguous suffix —
+guaranteed by ``bpx.data.collate``.  When no kv_lens is given and Tk needs
+no padding, the compare is skipped entirely (``full_kv`` fast path).
 
 Layout contract: inputs are (B, T, H, D) with **q already scaled** by
 ``head_dim**-0.5`` (matching bpx.ops.attention).  T and D are padded to
-128-multiples; padded keys are masked analytically via ``kv_lens``; padded
-q rows/D-channels are sliced off on return.
+tile multiples; padded keys are masked analytically; padded q rows and
+D-channels are sliced off on return.
 """
 
 from __future__ import annotations
@@ -51,6 +56,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_Q = 128
 BLOCK_K = 128
+SINGLE_PASS_MAX_K = 1024     # whole-K tile: direct softmax, no online pass
 NEG_INF = -1e30
 
 
@@ -71,10 +77,10 @@ def _round_up(x: int, m: int) -> int:
 def _keep_mask(seed, bh, row, col, tk_p: int, rate: float):
     """Bernoulli(1-rate) keep mask from a counter-based hash.
 
-    ``row``/``col`` are (BQ, BK) int32 global coordinate grids; the global
-    element index mixed with the seed goes through the murmur3 finalizer
-    (full avalanche), so fwd and both bwd kernels regenerate the identical
-    mask from (seed, bh, row, col) alone.
+    ``row``/``col`` are int32 global coordinate grids; the global element
+    index mixed with the seed goes through the murmur3 finalizer (full
+    avalanche), so fwd and both bwd kernels regenerate the identical mask
+    from (seed, bh, row, col) alone.
     """
     idx = (bh.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
            + row.astype(jnp.uint32) * jnp.uint32(tk_p)
@@ -89,27 +95,65 @@ def _keep_mask(seed, bh, row, col, tk_p: int, rate: float):
     return x >= threshold
 
 
+def _score_mask(s, row, col, kv_len, offset: int, masked: bool,
+                full_kv: bool):
+    """Apply padding + band masks to a score tile (static specialisation).
+
+    Returns (masked scores, ok-mask or None when no mask applies).
+    """
+    ok = None
+    if not full_kv:
+        ok = col < kv_len
+    if masked:
+        band = col <= row + offset
+        ok = band if ok is None else jnp.logical_and(ok, band)
+    return (s if ok is None else jnp.where(ok, s, NEG_INF)), ok
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
-                offset: int, masked: bool, blocks_k: int, rate: float,
-                tk_p: int):
-    """One (batch*head, q-block) program: online softmax over key blocks."""
+                offset: int, masked: bool, full_kv: bool, blocks_k: int,
+                rate: float, tk_p: int):
+    """One (batch*head, q-block) program."""
     b = pl.program_id(0)
     qi = pl.program_id(1)
-    kv_len = kvl_ref[b]
+    kv_len = None if full_kv else kvl_ref[b]
     # operands stay in the input dtype (bf16 on TPU): the MXU multiplies
-    # bf16 natively and accumulates fp32 via preferred_element_type —
-    # casting inputs to fp32 would force the slow fp32-matmul decomposition
+    # bf16 natively and accumulates fp32 via preferred_element_type
     q = q_ref[0]                                        # (BQ, D)
     bq, d = q.shape
-
-    row = qi * BLOCK_Q + jax.lax.broadcasted_iota(jnp.int32, (bq, BLOCK_K), 0)
+    tk = k_ref.shape[1]
     if rate > 0.0:
         seed = seed_ref[0].astype(jnp.uint32)
         inv_keep = jnp.float32(1.0 / (1.0 - rate))
+
+    if blocks_k == 1:
+        # -- single-pass: direct softmax over the whole key range ---------
+        row = qi * BLOCK_Q + jax.lax.broadcasted_iota(jnp.int32, (bq, tk), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, tk), 1)
+        s = jax.lax.dot_general(q, k_ref[0], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s, _ = _score_mask(s, row, col, kv_len, offset, masked, full_kv)
+        m = jnp.max(s, axis=1)
+        p = jnp.exp(s - m[:, None])
+        l = jnp.sum(p, axis=1)
+        if rate > 0.0:
+            keep = _keep_mask(seed, b, row, col, tk_p, rate)
+            p = jnp.where(keep, p * inv_keep, 0.0)
+        acc = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0],
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc / l_safe[:, None]).astype(o_ref.dtype)
+        lse = (m + jnp.log(l_safe)).astype(jnp.float32)
+        lse_ref[0] = jnp.broadcast_to(lse[None, :], (8, lse.shape[0]))
+        return
+
+    # -- online softmax over key blocks ----------------------------------
+    row = qi * BLOCK_Q + jax.lax.broadcasted_iota(jnp.int32, (bq, BLOCK_K), 0)
 
     def body(kj, carry):
         acc, m_prev, l_prev = carry
@@ -119,10 +163,7 @@ def _fwd_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
                                 preferred_element_type=jnp.float32)
         col = kj * BLOCK_K + jax.lax.broadcasted_iota(
             jnp.int32, (bq, BLOCK_K), 1)
-        ok = col < kv_len
-        if masked:
-            ok = jnp.logical_and(ok, col <= row + offset)
-        s = jnp.where(ok, s, NEG_INF)
+        s, _ = _score_mask(s, row, col, kv_len, offset, masked, full_kv)
 
         m_cur = jnp.max(s, axis=1)
         m_new = jnp.maximum(m_prev, m_cur)
@@ -161,14 +202,16 @@ def _fwd_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
     lse_ref[0] = jnp.broadcast_to(lse[None, :], (8, lse.shape[0]))
 
 
-def _fwd(q, k, v, kvl, seed, masked: bool, offset: int, rate: float):
+def _fwd(q, k, v, kvl, seed, masked: bool, offset: int, rate: float,
+         full_kv: bool):
     bh, tq, d = q.shape
     tk = k.shape[1]
     blocks_q = tq // BLOCK_Q
-    blocks_k = tk // BLOCK_K
+    blocks_k = 1 if tk <= SINGLE_PASS_MAX_K else tk // BLOCK_K
 
     kernel = functools.partial(_fwd_kernel, offset=offset, masked=masked,
-                               blocks_k=blocks_k, rate=rate, tk_p=tk)
+                               full_kv=full_kv, blocks_k=blocks_k,
+                               rate=rate, tk_p=tk)
     out, lse = pl.pallas_call(
         kernel,
         grid=(bh, blocks_q),
@@ -197,20 +240,43 @@ def _fwd(q, k, v, kvl, seed, masked: bool, offset: int, rate: float):
 
 def _bwd_dq_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
                    delta_ref, dq_ref, *,
-                   offset: int, masked: bool, blocks_k: int, rate: float,
-                   tk_p: int):
+                   offset: int, masked: bool, full_kv: bool, blocks_k: int,
+                   rate: float, tk_p: int):
     b = pl.program_id(0)
     qi = pl.program_id(1)
-    kv_len = kvl_ref[b]
+    kv_len = None if full_kv else kvl_ref[b]
     q = q_ref[0]
     do = do_ref[0]
     lse = lse_ref[0, 0]
     delta = delta_ref[0, 0]
     bq, d = q.shape
-    row = qi * BLOCK_Q + jax.lax.broadcasted_iota(jnp.int32, (bq, BLOCK_K), 0)
+    tk = k_ref.shape[1]
     if rate > 0.0:
         seed = seed_ref[0].astype(jnp.uint32)
         inv_keep = jnp.float32(1.0 / (1.0 - rate))
+
+    if blocks_k == 1:
+        # -- single-pass --------------------------------------------------
+        row = qi * BLOCK_Q + jax.lax.broadcasted_iota(jnp.int32, (bq, tk), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, tk), 1)
+        s = jax.lax.dot_general(q, k_ref[0], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        _, ok = _score_mask(s, row, col, kv_len, offset, masked, full_kv)
+        p = jnp.exp(s - lse[:, None])
+        if ok is not None:
+            p = jnp.where(ok, p, 0.0)
+        dp = jax.lax.dot_general(do, v_ref[0], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        if rate > 0.0:
+            keep = _keep_mask(seed, b, row, col, tk_p, rate)
+            dp = jnp.where(keep, dp * inv_keep, 0.0)
+        ds = (p * (dp - delta[:, None])).astype(k_ref.dtype)
+        dq = jax.lax.dot_general(ds, k_ref[0], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dq_ref[0] = dq.astype(dq_ref.dtype)
+        return
+
+    row = qi * BLOCK_Q + jax.lax.broadcasted_iota(jnp.int32, (bq, BLOCK_K), 0)
 
     def body(kj, dq):
         k_blk = k_ref[0, pl.ds(kj * BLOCK_K, BLOCK_K), :]
@@ -219,10 +285,10 @@ def _bwd_dq_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
                                 preferred_element_type=jnp.float32)
         col = kj * BLOCK_K + jax.lax.broadcasted_iota(
             jnp.int32, (bq, BLOCK_K), 1)
-        ok = col < kv_len
-        if masked:
-            ok = jnp.logical_and(ok, col <= row + offset)
-        p = jnp.where(ok, jnp.exp(s - lse[:, None]), 0.0)
+        _, ok = _score_mask(s, row, col, kv_len, offset, masked, full_kv)
+        p = jnp.exp(s - lse[:, None])
+        if ok is not None:
+            p = jnp.where(ok, p, 0.0)
         dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         if rate > 0.0:
@@ -244,18 +310,52 @@ def _bwd_dq_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
 def _bwd_dkv_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
                     delta_ref, dk_ref, dv_ref, *,
-                    offset: int, masked: bool, blocks_q: int, rate: float,
-                    tk_p: int):
+                    offset: int, masked: bool, full_kv: bool, blocks_q: int,
+                    rate: float, tk_p: int):
     b = pl.program_id(0)
     kj = pl.program_id(1)
-    kv_len = kvl_ref[b]
+    kv_len = None if full_kv else kvl_ref[b]
     k_blk = k_ref[0]                                     # (BK, D)
     v_blk = v_ref[0]
     bk, d = k_blk.shape
-    col = kj * BLOCK_K + jax.lax.broadcasted_iota(jnp.int32, (BLOCK_Q, bk), 1)
+    tq = q_ref.shape[1]
     if rate > 0.0:
         seed = seed_ref[0].astype(jnp.uint32)
         inv_keep = jnp.float32(1.0 / (1.0 - rate))
+
+    if blocks_q == 1:
+        # -- single-pass: the whole Q range in one tile --------------------
+        row = jax.lax.broadcasted_iota(jnp.int32, (tq, bk), 0)
+        col = kj * bk + jax.lax.broadcasted_iota(jnp.int32, (tq, bk), 1)
+        q = q_ref[0]
+        do = do_ref[0]
+        lse = lse_ref[0, 0]
+        delta = delta_ref[0, 0]
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        _, ok = _score_mask(s, row, col, kv_len, offset, masked, full_kv)
+        p = jnp.exp(s - lse[:, None])
+        if ok is not None:
+            p = jnp.where(ok, p, 0.0)
+        dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        if rate > 0.0:
+            keep = _keep_mask(seed, b, row, col, tk_p, rate)
+            pd = jnp.where(keep, p * inv_keep, 0.0)
+            dp = jnp.where(keep, dp * inv_keep, 0.0)
+        else:
+            pd = p
+        dv = jax.lax.dot_general(pd.astype(do.dtype), do,
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta[:, None])).astype(q.dtype)
+        dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dk_ref[0] = dk.astype(dk_ref.dtype)
+        dv_ref[0] = dv.astype(dv_ref.dtype)
+        return
+
+    col = kj * BLOCK_K + jax.lax.broadcasted_iota(jnp.int32, (BLOCK_Q, bk), 1)
 
     def body(qi, carry):
         dk, dv = carry
@@ -267,10 +367,10 @@ def _bwd_dkv_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
                                 preferred_element_type=jnp.float32)
         row = qi * BLOCK_Q + jax.lax.broadcasted_iota(
             jnp.int32, (BLOCK_Q, bk), 0)
-        ok = col < kv_len
-        if masked:
-            ok = jnp.logical_and(ok, col <= row + offset)
-        p = jnp.where(ok, jnp.exp(s - lse[:, None]), 0.0)
+        _, ok = _score_mask(s, row, col, kv_len, offset, masked, full_kv)
+        p = jnp.exp(s - lse[:, None])
+        if ok is not None:
+            p = jnp.where(ok, p, 0.0)
         dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         if rate > 0.0:
@@ -300,19 +400,23 @@ def _bwd_dkv_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _bwd(masked, offset, rate, res, g):
+def _bwd(masked, offset, rate, full_kv, res, g):
     q, k, v, kvl, seed, out, lse = res
     bh, tq, d = q.shape
     tk = k.shape[1]
     blocks_q = tq // BLOCK_Q
-    blocks_k = tk // BLOCK_K
+    blocks_k = 1 if tk <= SINGLE_PASS_MAX_K else tk // BLOCK_K
+    # dkv: one whole-Q pass per key block when Q fits a tile
+    dkv_blocks_q = 1 if tq <= SINGLE_PASS_MAX_K else blocks_q
+    dkv_block_k = tk if blocks_k == 1 else BLOCK_K
 
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
     delta = jnp.broadcast_to(delta[:, None, :], (bh, 8, tq))
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, offset=offset, masked=masked,
-                          blocks_k=blocks_k, rate=rate, tk_p=tk),
+                          full_kv=full_kv, blocks_k=blocks_k, rate=rate,
+                          tk_p=tk),
         grid=(bh, blocks_q),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -330,21 +434,22 @@ def _bwd(masked, offset, rate, res, g):
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, offset=offset, masked=masked,
-                          blocks_q=blocks_q, rate=rate, tk_p=tk),
-        grid=(bh, blocks_k),
+                          full_kv=full_kv, blocks_q=dkv_blocks_q, rate=rate,
+                          tk_p=tk),
+        grid=(bh, tk // dkv_block_k),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, tq, d), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((1, BLOCK_K, d), lambda b, j: (b, j, 0)),
-            pl.BlockSpec((1, BLOCK_K, d), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, dkv_block_k, d), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, dkv_block_k, d), lambda b, j: (b, j, 0)),
             pl.BlockSpec((1, tq, d), lambda b, j: (b, 0, 0)),
             pl.BlockSpec((1, 8, tq), lambda b, j: (b, 0, 0)),
             pl.BlockSpec((1, 8, tq), lambda b, j: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, BLOCK_K, d), lambda b, j: (b, j, 0)),
-            pl.BlockSpec((1, BLOCK_K, d), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, dkv_block_k, d), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, dkv_block_k, d), lambda b, j: (b, j, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, tk, d), k.dtype),
@@ -358,14 +463,15 @@ def _bwd(masked, offset, rate, res, g):
 # public entry
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _flash(q, k, v, kvl, seed, masked: bool, offset: int, rate: float):
-    out, _ = _fwd(q, k, v, kvl, seed, masked, offset, rate)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash(q, k, v, kvl, seed, masked: bool, offset: int, rate: float,
+           full_kv: bool):
+    out, _ = _fwd(q, k, v, kvl, seed, masked, offset, rate, full_kv)
     return out
 
 
-def _flash_fwd(q, k, v, kvl, seed, masked, offset, rate):
-    out, lse = _fwd(q, k, v, kvl, seed, masked, offset, rate)
+def _flash_fwd(q, k, v, kvl, seed, masked, offset, rate, full_kv):
+    out, lse = _fwd(q, k, v, kvl, seed, masked, offset, rate, full_kv)
     return out, (q, k, v, kvl, seed, out, lse)
 
 
@@ -391,6 +497,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
     tq_p, tk_p, d_p = (_round_up(Tq, BLOCK_Q), _round_up(Tk, BLOCK_K),
                        _round_up(D, 128))
+    full_kv = kv_lens is None and Tk == tk_p
 
     def prep(x, t_p):
         x = jnp.swapaxes(x, 1, 2).reshape(B * H, x.shape[1], D)
@@ -407,6 +514,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         seed = jnp.asarray(dropout_seed, jnp.uint32).reshape((1,))
     else:
         seed = jnp.zeros((1,), jnp.uint32)
-    out = _flash(qf, kf, vf, kvl, seed, masked, offset, float(dropout_rate))
+    out = _flash(qf, kf, vf, kvl, seed, masked, offset, float(dropout_rate),
+                 full_kv)
     out = out[:, :Tq, :D].reshape(B, H, Tq, D)
     return jnp.swapaxes(out, 1, 2)
