@@ -40,6 +40,45 @@ def adaptive_avg_pool1d(x: jax.Array, t_out: int) -> jax.Array:
                       preferred_element_type=jnp.float32).astype(x.dtype)
 
 
+class GemmConv1d(nn.Module):
+    """VALID Conv1d lowered to one gather + one GEMM.
+
+    XLA's native lowering of the reference's wide-kernel convs
+    (k=128, 96 channels) runs at <1% MXU utilisation (~123 ms/step of the
+    headline bench).  Unfolding the input with a single gather
+    (``x[:, t*stride + k, :]``) and contracting ``(K, Cin)`` against the
+    kernel in one ``dot_general`` puts the same math on the MXU at a few
+    GB of patch traffic instead (~100x faster here).  The gather's VJP is
+    one scatter-add, so the backward stays a GEMM + one scatter.
+
+    Parameter tree is identical to ``nn.Conv`` — ``kernel (K, Cin, Cout)``
+    (same lecun-normal fan = K*Cin) and ``bias (Cout,)`` — so checkpoints
+    and the torch-oracle parity tests are unaffected.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        K, s = self.kernel_size, self.stride
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (K, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        t_out = (x.shape[1] - K) // s + 1
+        idx = (jnp.arange(t_out) * s)[:, None] + jnp.arange(K)[None, :]
+        patches = x[:, idx, :]                      # (B, T_out, K, Cin)
+        y = jax.lax.dot_general(
+            patches.astype(self.dtype), kernel.astype(self.dtype),
+            (((2, 3), (0, 1)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return (y + bias.astype(jnp.float32)).astype(self.dtype)
+
+
 class AudioEncoder(nn.Module):
     """Two strided Conv1d layers + adaptive average pool.
 
@@ -49,7 +88,8 @@ class AudioEncoder(nn.Module):
     * cmumosi:    Conv1d(5,5,k=20,s=1)   x2 + pool(5)   (ref: mmtr.py:127-141)
 
     The reference hard-codes channels == in-channels and VALID padding; both
-    kept.  ``pool_target`` is num_vectors_a in the models.
+    kept.  ``pool_target`` is num_vectors_a in the models.  Convs are
+    GEMM-lowered (:class:`GemmConv1d`).
     """
 
     channels: int
@@ -69,10 +109,10 @@ class AudioEncoder(nn.Module):
                 f"Conv1d(k={self.kernel_size}, s={self.stride}) layers; "
                 f"need >= {min_t} (set data.audio_raw_len accordingly)")
         for i in range(2):
-            x = nn.Conv(features=self.channels,
-                        kernel_size=(self.kernel_size,),
-                        strides=(self.stride,), padding="VALID",
-                        dtype=self.dtype, name=f"conv{i+1}")(x)
+            x = GemmConv1d(features=self.channels,
+                           kernel_size=self.kernel_size,
+                           stride=self.stride,
+                           dtype=self.dtype, name=f"conv{i+1}")(x)
         return adaptive_avg_pool1d(x, self.pool_target)
 
 

@@ -53,6 +53,7 @@ def _regroup(params):
     return grouped
 
 
+@pytest.mark.slow
 def test_grouped_matches_ungrouped_vapt():
     cfg_u = _cfg(grouped=False)
     cfg_g = _cfg(grouped=True)

@@ -1,6 +1,7 @@
 """Vmapped multi-seed training tests (SURVEY.md §5.8 TPU-native sweep)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -27,6 +28,7 @@ def _setup():
     return exp, model, tx, loss_fn, jbatch
 
 
+@pytest.mark.slow
 def test_multiseed_matches_individual_seeds():
     exp, model, tx, loss_fn, batch = _setup()
     seeds = [3, 9]

@@ -24,7 +24,6 @@ def _mk(B, Tq, Tk, H, D, seed=0):
     return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
 
 
-@pytest.mark.slow
 @pytest.mark.parametrize("tq,tk,masked", [
     (128, 128, True),      # square causal
     (128, 256, True),      # wide band (offset 128)
@@ -42,7 +41,6 @@ def test_flash_matches_einsum(tq, tk, masked):
                                atol=2e-5, rtol=2e-5)
 
 
-@pytest.mark.slow
 def test_flash_gradients_match():
     B, H, D, Tq, Tk = 1, 1, 64, 128, 128
     q, k, v = _mk(B, Tq, Tk, H, D, seed=3)
@@ -62,7 +60,6 @@ def test_flash_gradients_match():
                                    err_msg=f"d{name} mismatch")
 
 
-@pytest.mark.slow
 def test_flash_gradients_rectangular():
     B, H, D, Tq, Tk = 1, 1, 64, 128, 256
     q, k, v = _mk(B, Tq, Tk, H, D, seed=4)
@@ -86,7 +83,6 @@ def test_flash_gradients_rectangular():
 # per-sample key lengths (BERT right-padding)
 # ---------------------------------------------------------------------------
 
-@pytest.mark.slow
 def test_flash_kv_lens_matches_padded_bias():
     from bpx.ops.masks import key_padding_bias
     B, H, D, T = 2, 2, 64, 128
@@ -125,7 +121,6 @@ def _dropout_reference(q, k, v, bias, keep, rate):
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
-@pytest.mark.slow
 @pytest.mark.parametrize("masked", [False, True])
 def test_flash_dropout_exact_parity(masked):
     B, H, D, T, rate, seed = 2, 2, 64, 128, 0.3, 1234
@@ -144,7 +139,6 @@ def test_flash_dropout_exact_parity(masked):
     assert abs(frac - (1.0 - rate)) < 0.02, frac
 
 
-@pytest.mark.slow
 def test_flash_dropout_gradients_exact():
     B, H, D, T, rate, seed = 1, 2, 64, 128, 0.25, 77
     q, k, v = _mk(B, T, T, H, D, seed=7)
@@ -167,7 +161,6 @@ def test_flash_dropout_gradients_exact():
                                    err_msg=f"d{name} mismatch")
 
 
-@pytest.mark.slow
 def test_flash_dropout_seeds_differ():
     B, H, D, T, rate = 1, 1, 64, 128, 0.3
     q, k, v = _mk(B, T, T, H, D, seed=8)
