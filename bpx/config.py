@@ -135,6 +135,11 @@ class ModelConfig:
     # Selective remat: None inherits `remat`; False keeps BERT activations
     # resident (saves its recompute pass when HBM allows).
     remat_bert: Optional[bool] = None
+    # Scan only some stacks: None inherits `scan_layers`.  Unrolling the
+    # shallow (4-layer) crossmodal encoders removes their scan-carry
+    # copies and lets XLA fuse across layers, at higher compile time;
+    # BERT (12-24 layers) usually stays scanned.
+    scan_encoders: Optional[bool] = None
     # Group the 12 crossmodal encoders into 6 same-shape vmapped pairs —
     # doubles the effective GEMM batch and halves kernel-launch count.
     # Requires attn_dropout_a == attn_dropout_v and num_vectors_a ==

@@ -113,7 +113,9 @@ class _BPMulTBase(nn.Module):
             embed_dropout=cfg.embed_dropout, attn_mask=cfg.attn_mask,
             biprojection=biprojection, dtype=self._dtype(),
             attention_impl=cfg.attention_impl,
-            scan_layers=cfg.scan_layers, remat=cfg.remat, name=name)
+            scan_layers=(cfg.scan_layers if cfg.scan_encoders is None
+                         else cfg.scan_encoders),
+            remat=cfg.remat, name=name)
 
     def _grouped_encoder(self, name: str, attn_dropout: float,
                          biprojection: bool):
@@ -134,7 +136,9 @@ class _BPMulTBase(nn.Module):
             embed_dropout=cfg.embed_dropout, attn_mask=cfg.attn_mask,
             biprojection=biprojection, dtype=self._dtype(),
             attention_impl=cfg.attention_impl,
-            scan_layers=cfg.scan_layers, remat=cfg.remat, name=name)
+            scan_layers=(cfg.scan_layers if cfg.scan_encoders is None
+                         else cfg.scan_encoders),
+            remat=cfg.remat, name=name)
 
     def _make_grouped_mesh(self, biprojection_second_round: bool):
         """Grouped variant of the 12-encoder mesh: 6 vmapped pairs.

@@ -28,6 +28,7 @@ def main():
     p.add_argument("--remat", type=int, default=None)
     p.add_argument("--remat_bert", type=int, default=None)
     p.add_argument("--group_encoders", type=int, default=None)
+    p.add_argument("--scan_encoders", type=int, default=None)
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--steps", type=int, default=8)
     p.add_argument("--warmup", type=int, default=3)
@@ -41,7 +42,7 @@ def main():
     for key in ("attention_impl", "bert_attention_impl"):
         if getattr(args, key) is not None:
             over[key] = getattr(args, key)
-    for key in ("remat", "remat_bert", "group_encoders"):
+    for key in ("remat", "remat_bert", "group_encoders", "scan_encoders"):
         if getattr(args, key) is not None:
             over[key] = bool(getattr(args, key))
     if over:

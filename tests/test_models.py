@@ -179,3 +179,17 @@ def test_vat_mag_fusion_forward_and_gates():
     out = model.apply(variables, *batch, deterministic=False,
                       rngs={"dropout": jax.random.PRNGKey(1)})
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_scan_encoders_override_forward():
+    """scan_encoders=False unrolls the crossmodal stacks while BERT stays
+    scanned; forward runs and the encoder params are per-layer."""
+    cfg = _tiny_vapt(scan_layers=True, scan_encoders=False)
+    m = get_model(cfg)
+    batch = _vapt_batch(cfg)
+    variables = m.init({"params": jax.random.PRNGKey(0)}, *batch)
+    p = variables["params"]
+    assert "layer0" in p["trans_v_with_a"]          # unrolled encoders
+    assert "layers" in p["bert"]                    # scanned BERT
+    logits = m.apply(variables, *batch)
+    assert logits.shape == (2, cfg.n_classes)
