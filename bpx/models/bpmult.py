@@ -168,17 +168,18 @@ class _BPMulTBase(nn.Module):
         """Grouped form of the 6 first-round encoders; same outputs."""
         det = deterministic
         stack = lambda a, b: jnp.stack([a, b])
+        # K/V stacks built once so the encoder sees the aliasing (fused kv).
         # (v<-a, a<-v)
-        h = self.g_va(stack(proj_v, proj_a), stack(proj_a, proj_v),
-                      stack(proj_a, proj_v), det)
+        kv = stack(proj_a, proj_v)
+        h = self.g_va(stack(proj_v, proj_a), kv, kv, det)
         h_v_with_as, h_a_with_vs = h[0], h[1]
         # (v<-l, a<-l)
-        h = self.g_xl(stack(proj_v, proj_a), stack(proj_l, proj_l),
-                      stack(proj_l, proj_l), det)
+        kv = stack(proj_l, proj_l)
+        h = self.g_xl(stack(proj_v, proj_a), kv, kv, det)
         h_v_with_ls, h_a_with_ls = h[0], h[1]
         # (l<-v, l<-a)
-        h = self.g_lx(stack(proj_l, proj_l), stack(proj_v, proj_a),
-                      stack(proj_v, proj_a), det)
+        kv = stack(proj_v, proj_a)
+        h = self.g_lx(stack(proj_l, proj_l), kv, kv, det)
         h_l_with_vs, h_l_with_as = h[0], h[1]
         return (h_v_with_as, h_a_with_vs, h_v_with_ls, h_l_with_vs,
                 h_a_with_ls, h_l_with_as)
@@ -191,17 +192,14 @@ class _BPMulTBase(nn.Module):
         biprojection outputs in reference naming order."""
         det = deterministic
         stack = lambda a, b: jnp.stack([a, b])
-        h = self.g_l_bi(stack(proj_l, proj_l),
-                        stack(h_a_with_vs, h_v_with_as),
-                        stack(h_a_with_vs, h_v_with_as), det)
+        kv = stack(h_a_with_vs, h_v_with_as)
+        h = self.g_l_bi(stack(proj_l, proj_l), kv, kv, det)
         h_l_v2a, h_l_a2v = h[0], h[1]
-        h = self.g_x2l(stack(proj_a, proj_v),
-                       stack(h_l_with_vs, h_l_with_as),
-                       stack(h_l_with_vs, h_l_with_as), det)
+        kv = stack(h_l_with_vs, h_l_with_as)
+        h = self.g_x2l(stack(proj_a, proj_v), kv, kv, det)
         h_a_v2l, h_v_a2l = h[0], h[1]
-        h = self.g_xl2(stack(proj_a, proj_v),
-                       stack(h_v_with_ls, h_a_with_ls),
-                       stack(h_v_with_ls, h_a_with_ls), det)
+        kv = stack(h_v_with_ls, h_a_with_ls)
+        h = self.g_xl2(stack(proj_a, proj_v), kv, kv, det)
         h_a_l2v, h_v_l2a = h[0], h[1]
         return h_l_v2a, h_l_a2v, h_a_v2l, h_a_l2v, h_v_a2l, h_v_l2a
 

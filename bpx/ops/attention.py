@@ -12,9 +12,13 @@ Functionally equivalent to the reference's fairseq-derived MHA
   (ref: multihead_attention.py:23,86);
 * optional Pallas flash-attention backend that fuses the rectangular offset
   mask analytically (see bpx.ops.flash_attention);
-* q/k/v projections are separate Dense kernels (cleaner tensor-parallel
+* q/k/v projections are separate *parameters* (cleaner tensor-parallel
   sharding than the reference's packed ``in_proj_weight [3E, E]``,
-  multihead_attention.py:25); ``load_packed_qkv`` converts packed torch
+  multihead_attention.py:25) but execute as ONE fused GEMM whenever the
+  operand streams alias (q=k=v for self-attention, k=v for cross-attention)
+  — kernels are concatenated along the output axis at trace time, which is
+  bit-identical to separate GEMMs (matmul columns are independent) while
+  cutting kernel launches 3x/2x; ``load_packed_qkv`` converts packed torch
   weights for parity tests.
 """
 
@@ -52,6 +56,40 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                       preferred_element_type=jnp.float32).astype(dtype)
 
 
+class DenseParams(nn.Module):
+    """A Dense-compatible ``{kernel, bias}`` parameter pair WITHOUT the bound
+    matmul, so callers can concatenate kernels into fused multi-output
+    projections.  The param tree is identical to ``nn.Dense`` under the same
+    name."""
+
+    features: int
+    in_features: int
+    use_bias: bool = True
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", self.kernel_init,
+                            (self.in_features, self.features), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+                if self.use_bias else None)
+        return kernel, bias
+
+
+def fused_projection(x: jax.Array, kernels, biases, dtype) -> jax.Array:
+    """``x @ [W1|W2|...] + [b1|b2|...]`` — one GEMM for several projections.
+
+    Bit-identical to applying each projection separately (each output column
+    of a matmul is computed independently), so parity oracles are unaffected.
+    """
+    w = jnp.concatenate([k.astype(dtype) for k in kernels], axis=1)
+    y = jnp.dot(x.astype(dtype), w)
+    if biases[0] is not None:
+        y = y + jnp.concatenate([b.astype(dtype) for b in biases])
+    return y
+
+
 class MultiheadAttention(nn.Module):
     """Multi-head attention over batch-first streams.
 
@@ -73,13 +111,12 @@ class MultiheadAttention(nn.Module):
             "embed_dim must be divisible by num_heads"
         self.head_dim = self.embed_dim // self.num_heads
         self.scaling = self.head_dim ** -0.5
-        dense = lambda name: nn.Dense(
-            self.embed_dim, use_bias=self.use_bias, dtype=self.dtype,
-            kernel_init=nn.initializers.xavier_uniform(),
-            bias_init=nn.initializers.zeros, name=name)
-        self.q_proj = dense("q_proj")
-        self.k_proj = dense("k_proj")
-        self.v_proj = dense("v_proj")
+        proj = lambda name: DenseParams(
+            self.embed_dim, self.embed_dim, use_bias=self.use_bias,
+            kernel_init=nn.initializers.xavier_uniform(), name=name)
+        self.q_proj = proj("q_proj")
+        self.k_proj = proj("k_proj")
+        self.v_proj = proj("v_proj")
         self.out_proj = nn.Dense(
             self.embed_dim, use_bias=self.use_bias, dtype=self.dtype,
             kernel_init=nn.initializers.xavier_uniform(),
@@ -94,10 +131,26 @@ class MultiheadAttention(nn.Module):
         value = key if value is None else value
         B, Tq, _ = query.shape
         Tk = key.shape[1]
+        E = self.embed_dim
 
-        q = self.q_proj(query) * jnp.asarray(self.scaling, self.dtype)
-        k = self.k_proj(key)
-        v = self.v_proj(value)
+        wq, bq = self.q_proj()
+        wk, bk = self.k_proj()
+        wv, bv = self.v_proj()
+        # Fuse aliased projections into one GEMM (self-attn: q=k=v source;
+        # cross-attn with a single kv stream: k=v source).
+        if key is query and value is query:
+            qkv = fused_projection(query, (wq, wk, wv), (bq, bk, bv),
+                                   self.dtype)
+            q, k, v = qkv[..., :E], qkv[..., E:2 * E], qkv[..., 2 * E:]
+        elif value is key:
+            q = fused_projection(query, (wq,), (bq,), self.dtype)
+            kv = fused_projection(key, (wk, wv), (bk, bv), self.dtype)
+            k, v = kv[..., :E], kv[..., E:]
+        else:
+            q = fused_projection(query, (wq,), (bq,), self.dtype)
+            k = fused_projection(key, (wk,), (bk,), self.dtype)
+            v = fused_projection(value, (wv,), (bv,), self.dtype)
+        q = q * jnp.asarray(self.scaling, self.dtype)
         q = q.reshape(B, Tq, self.num_heads, self.head_dim)
         k = k.reshape(B, Tk, self.num_heads, self.head_dim)
         v = v.reshape(B, Tk, self.num_heads, self.head_dim)

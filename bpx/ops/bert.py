@@ -36,14 +36,22 @@ class BertSelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, bias, kv_lens=None, deterministic=True):
+        from bpx.ops.attention import DenseParams, fused_projection
+
         cfg = self.config
         head_dim = cfg.hidden_size // cfg.num_heads
         B, T, _ = hidden.shape
-        dense = lambda name: nn.Dense(cfg.hidden_size, dtype=self.dtype,
-                                      name=name)
-        q = dense("query")(hidden).reshape(B, T, cfg.num_heads, head_dim)
-        k = dense("key")(hidden).reshape(B, T, cfg.num_heads, head_dim)
-        v = dense("value")(hidden).reshape(B, T, cfg.num_heads, head_dim)
+        E = cfg.hidden_size
+        # One fused QKV GEMM; the q/k/v param tree matches nn.Dense (and the
+        # HF checkpoint importer) exactly.
+        proj = lambda name: DenseParams(E, E, name=name)
+        wq, bq = proj("query")()
+        wk, bk = proj("key")()
+        wv, bv = proj("value")()
+        qkv = fused_projection(hidden, (wq, wk, wv), (bq, bk, bv), self.dtype)
+        q = qkv[..., :E].reshape(B, T, cfg.num_heads, head_dim)
+        k = qkv[..., E:2 * E].reshape(B, T, cfg.num_heads, head_dim)
+        v = qkv[..., 2 * E:].reshape(B, T, cfg.num_heads, head_dim)
 
         if self.attention_impl == "pallas" and kv_lens is not None:
             # Flash path: key padding from per-sample lengths (collate

@@ -80,10 +80,13 @@ class TransformerEncoderLayer(nn.Module):
                  x_k: Optional[jax.Array] = None,
                  x_v: Optional[jax.Array] = None,
                  deterministic: bool = True) -> jax.Array:
+        """``x_v=None`` with ``x_k`` given means "V aliases K" — the stack
+        passes the aliasing explicitly (identity checks don't survive
+        scan/remat tracer boundaries) so the attention fuses the k/v GEMMs."""
         Tq = x.shape[1]
 
         residual = x
-        if x_k is None and x_v is None:
+        if x_k is None:
             # --- self-attention mode (ref: transformer.py:158-159)
             mask = (offset_future_mask(Tq, Tq, jnp.float32)
                     if self.attn_mask else None)
@@ -101,8 +104,10 @@ class TransformerEncoderLayer(nn.Module):
             Tk = x_k.shape[1]
             mask = (offset_future_mask(Tq, Tk, jnp.float32)
                     if self.attn_mask else None)
+            # K/V come from the same stream in every model call site; compute
+            # the LN once so the attention fuses the k/v GEMMs.
             k = self.norms[1](x_k)
-            v = self.norms[1](x_v)
+            v = k if x_v is None else self.norms[1](x_v)
             # Query is the un-normalised sublayer output (the reference's
             # maybe_layer_norm(0, x, after=True) is an identity under pre-LN).
             h = self.attn(x, k, v, mask=mask, deterministic=deterministic)
@@ -114,7 +119,7 @@ class TransformerEncoderLayer(nn.Module):
                     if self.attn_mask else None)
             q = self.norms[0](x)
             k = self.norms[0](x_k)
-            v = self.norms[0](x_v)
+            v = k if x_v is None else self.norms[0](x_v)
             h = self.attn(q, k, v, mask=mask, deterministic=deterministic)
 
         h = self._dropout(h, self.res_dropout, deterministic)
@@ -209,7 +214,13 @@ class TransformerEncoder(nn.Module):
         x_k = x_v = None
         if x_in_k is not None and x_in_v is not None:
             x_k = self._embed(x_in_k, deterministic)
-            x_v = self._embed(x_in_v, deterministic)
+            # The reference embeds K and V separately, which only differs
+            # when embed-dropout draws differ (transformer.py:71-79); when
+            # the computation is exactly identical, keep x_v=None ("V
+            # aliases K") so the layers fuse their k/v projections.
+            if not (x_in_v is x_in_k
+                    and (deterministic or self.embed_dropout <= 0.0)):
+                x_v = self._embed(x_in_v, deterministic)
         if self.scan_layers:
             x, _ = self.blocks(x, x_k, x_v, deterministic)
         else:
