@@ -129,6 +129,10 @@ def get_args(parser: argparse.ArgumentParser):
                              "(compile-time win for deep configs)")
     parser.add_argument("--remat", action="store_true",
                         help="jax.checkpoint per layer (activation memory)")
+    parser.add_argument("--scan_unroll", type=int, default=1,
+                        help="layers per scan iteration (lax.scan unroll); "
+                             ">1 trades compile time for fewer stacked-carry "
+                             "round-trips in the backward pass")
     parser.add_argument("--optimizer", type=str, default="adam",
                         choices=["adam", "radam", "plain_radam"])
 
@@ -200,7 +204,8 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
         compute_dtype=args.compute_dtype,
         attention_impl=args.attention_impl,
         fusion=args.fusion,
-        scan_layers=args.scan_layers, remat=args.remat)
+        scan_layers=args.scan_layers, remat=args.remat,
+        scan_unroll=args.scan_unroll)
     data = DataConfig(
         task=args.task, task_type=args.task_type, data_path=args.data_path,
         bert_model=args.bert_model, bert_vocab_path=args.bert_vocab,

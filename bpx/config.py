@@ -140,6 +140,11 @@ class ModelConfig:
     # copies and lets XLA fuse across layers, at higher compile time;
     # BERT (12-24 layers) usually stays scanned.
     scan_encoders: Optional[bool] = None
+    # lax.scan unroll factor for scanned stacks: unrolling k layers per scan
+    # iteration divides the stacked-carry round-trips (the backward pass
+    # re-materialises the whole stacked weight-grad buffer once per
+    # iteration) at k x the compile-time of one layer body.
+    scan_unroll: int = 1
     # Group the 12 crossmodal encoders into 6 same-shape vmapped pairs —
     # doubles the effective GEMM batch and halves kernel-launch count.
     # Requires attn_dropout_a == attn_dropout_v and num_vectors_a ==

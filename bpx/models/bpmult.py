@@ -115,7 +115,7 @@ class _BPMulTBase(nn.Module):
             attention_impl=cfg.attention_impl,
             scan_layers=(cfg.scan_layers if cfg.scan_encoders is None
                          else cfg.scan_encoders),
-            remat=cfg.remat, name=name)
+            remat=cfg.remat, scan_unroll=cfg.scan_unroll, name=name)
 
     def _grouped_encoder(self, name: str, attn_dropout: float,
                          biprojection: bool):
@@ -135,10 +135,13 @@ class _BPMulTBase(nn.Module):
             relu_dropout=cfg.relu_dropout, res_dropout=cfg.res_dropout,
             embed_dropout=cfg.embed_dropout, attn_mask=cfg.attn_mask,
             biprojection=biprojection, dtype=self._dtype(),
-            attention_impl=cfg.attention_impl,
+            # vmap's pallas_call batching rule rejects the kernel's SMEM
+            # scalar args (seed/kv_lens); the einsum path vmaps cleanly and
+            # measures within noise of the kernel at these lengths.
+            attention_impl="xla",
             scan_layers=(cfg.scan_layers if cfg.scan_encoders is None
                          else cfg.scan_encoders),
-            remat=cfg.remat, name=name)
+            remat=cfg.remat, scan_unroll=cfg.scan_unroll, name=name)
 
     def _make_grouped_mesh(self, biprojection_second_round: bool):
         """Grouped variant of the 12-encoder mesh: 6 vmapped pairs.
@@ -387,7 +390,7 @@ class BPMulTVAPT(_BPMulTBase):
                                 remat=remat_bert,
                                 attention_impl=(cfg.bert_attention_impl
                                                 or cfg.attention_impl),
-                                name="bert")
+                                scan_unroll=cfg.scan_unroll, name="bert")
         if cfg.use_audio_encoder:
             self.audio_enc = make_audio_encoder(
                 cfg.audio_encoder, cfg.orig_d_a, cfg.num_vectors_a, dt)
@@ -512,7 +515,7 @@ class BPMulTVAT(_BPMulTBase):
                                 remat=remat_bert,
                                 attention_impl=(cfg.bert_attention_impl
                                                 or cfg.attention_impl),
-                                name="bert")
+                                scan_unroll=cfg.scan_unroll, name="bert")
         dense_nb = lambda feat, name: nn.Dense(
             feat, use_bias=False, dtype=dt,
             kernel_init=nn.initializers.lecun_normal(), name=name)

@@ -136,6 +136,7 @@ class BertEncoder(nn.Module):
     scan_layers: bool = False   # one scanned layer body instead of N copies
     remat: bool = False         # jax.checkpoint per layer (activation memory)
     attention_impl: str = "xla"  # "pallas" routes self-attn through flash
+    scan_unroll: int = 1        # layers per scan iteration (lax.scan unroll)
 
     @nn.compact
     def __call__(self, input_ids: jax.Array, attention_mask: jax.Array,
@@ -178,7 +179,8 @@ class BertEncoder(nn.Module):
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
-                length=cfg.num_layers)
+                length=cfg.num_layers,
+                unroll=min(self.scan_unroll, cfg.num_layers))
             hidden, _ = scanned(cfg, self.dtype, self.attention_impl,
                                 name="layers")(
                 hidden, bias, kv_lens, deterministic)

@@ -166,6 +166,7 @@ class TransformerEncoder(nn.Module):
     # jax.checkpoint, trading recompute for activation memory.
     scan_layers: bool = False
     remat: bool = False
+    scan_unroll: int = 1
 
     def setup(self):
         self.embed_scale = math.sqrt(self.embed_dim)
@@ -184,7 +185,8 @@ class TransformerEncoder(nn.Module):
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
-                length=self.layers)
+                length=self.layers,
+                unroll=min(self.scan_unroll, self.layers))
             self.blocks = scanned(**layer_kw, name="layers")
         else:
             layer_cls = TransformerEncoderLayer

@@ -56,8 +56,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_Q = 128
 BLOCK_K = 128
+MAX_BLOCK_Q = 512            # largest q tile (VMEM: scores fp32 BQ x Tk)
 SINGLE_PASS_MAX_K = 1024     # whole-K tile: direct softmax, no online pass
 NEG_INF = -1e30
+
+
+def _pick_block_q(tq_p: int) -> int:
+    """Largest 128-multiple divisor of ``tq_p`` up to MAX_BLOCK_Q.
+
+    The kernels are HBM-bound at these lengths: K and V are re-read once per
+    q block, so fewer/larger q blocks directly cut DMA traffic (512 -> one
+    program per batch*head instead of four).
+    """
+    for cand in range(min(MAX_BLOCK_Q, tq_p), 0, -BLOCK_Q):
+        if tq_p % cand == 0:
+            return cand
+    return BLOCK_Q
 
 
 def _interpret() -> bool:
@@ -132,7 +146,7 @@ def _fwd_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
 
     if blocks_k == 1:
         # -- single-pass: direct softmax over the whole key range ---------
-        row = qi * BLOCK_Q + jax.lax.broadcasted_iota(jnp.int32, (bq, tk), 0)
+        row = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, tk), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (bq, tk), 1)
         s = jax.lax.dot_general(q, k_ref[0], (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
@@ -153,7 +167,7 @@ def _fwd_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         return
 
     # -- online softmax over key blocks ----------------------------------
-    row = qi * BLOCK_Q + jax.lax.broadcasted_iota(jnp.int32, (bq, BLOCK_K), 0)
+    row = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, BLOCK_K), 0)
 
     def body(kj, carry):
         acc, m_prev, l_prev = carry
@@ -189,7 +203,7 @@ def _fwd_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         # skip key blocks whose first column is above the band for every
         # row of this q block: kj*BK > (qi+1)*BQ - 1 + offset
         hi = jnp.minimum(
-            (((qi + 1) * BLOCK_Q - 1 + offset) // BLOCK_K) + 1, blocks_k)
+            (((qi + 1) * bq - 1 + offset) // BLOCK_K) + 1, blocks_k)
         acc, m, l = jax.lax.fori_loop(0, hi, body, (acc0, m0, l0))
     else:
         acc, m, l = jax.lax.fori_loop(0, blocks_k, body, (acc0, m0, l0))
@@ -206,7 +220,8 @@ def _fwd(q, k, v, kvl, seed, masked: bool, offset: int, rate: float,
          full_kv: bool):
     bh, tq, d = q.shape
     tk = k.shape[1]
-    blocks_q = tq // BLOCK_Q
+    block_q = _pick_block_q(tq)
+    blocks_q = tq // block_q
     blocks_k = 1 if tk <= SINGLE_PASS_MAX_K else tk // BLOCK_K
 
     kernel = functools.partial(_fwd_kernel, offset=offset, masked=masked,
@@ -218,13 +233,13 @@ def _fwd(q, k, v, kvl, seed, masked: bool, offset: int, rate: float,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, tk, d), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, tk, d), lambda b, i: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, 8, BLOCK_Q), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, 8, block_q), lambda b, i: (b, 0, i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
@@ -257,7 +272,7 @@ def _bwd_dq_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
     if blocks_k == 1:
         # -- single-pass --------------------------------------------------
-        row = qi * BLOCK_Q + jax.lax.broadcasted_iota(jnp.int32, (bq, tk), 0)
+        row = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, tk), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (bq, tk), 1)
         s = jax.lax.dot_general(q, k_ref[0], (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
@@ -276,7 +291,7 @@ def _bwd_dq_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         dq_ref[0] = dq.astype(dq_ref.dtype)
         return
 
-    row = qi * BLOCK_Q + jax.lax.broadcasted_iota(jnp.int32, (bq, BLOCK_K), 0)
+    row = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, BLOCK_K), 0)
 
     def body(kj, dq):
         k_blk = k_ref[0, pl.ds(kj * BLOCK_K, BLOCK_K), :]
@@ -301,7 +316,7 @@ def _bwd_dq_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     dq0 = jnp.zeros((bq, d), jnp.float32)
     if masked:
         hi = jnp.minimum(
-            (((qi + 1) * BLOCK_Q - 1 + offset) // BLOCK_K) + 1, blocks_k)
+            (((qi + 1) * bq - 1 + offset) // BLOCK_K) + 1, blocks_k)
         dq = jax.lax.fori_loop(0, hi, body, dq0)
     else:
         dq = jax.lax.fori_loop(0, blocks_k, body, dq0)
@@ -404,10 +419,12 @@ def _bwd(masked, offset, rate, full_kv, res, g):
     q, k, v, kvl, seed, out, lse = res
     bh, tq, d = q.shape
     tk = k.shape[1]
-    blocks_q = tq // BLOCK_Q
+    block_q = _pick_block_q(tq)
+    blocks_q = tq // block_q
     blocks_k = 1 if tk <= SINGLE_PASS_MAX_K else tk // BLOCK_K
-    # dkv: one whole-Q pass per key block when Q fits a tile
-    dkv_blocks_q = 1 if tq <= SINGLE_PASS_MAX_K else blocks_q
+    # dkv: one whole-Q pass per key block when Q fits a tile; otherwise the
+    # kernel iterates BLOCK_Q-sized tiles of the in-VMEM Q internally.
+    dkv_blocks_q = 1 if tq <= SINGLE_PASS_MAX_K else tq // BLOCK_Q
     dkv_block_k = tk if blocks_k == 1 else BLOCK_K
 
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
@@ -421,14 +438,14 @@ def _bwd(masked, offset, rate, full_kv, res, g):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, tk, d), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, tk, d), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, 8, BLOCK_Q), lambda b, i: (b, 0, i)),
-            pl.BlockSpec((1, 8, BLOCK_Q), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, 8, block_q), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, 8, block_q), lambda b, i: (b, 0, i)),
         ],
-        out_specs=pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0)),
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
         interpret=_interpret())(kvl, seed, q, k, v, g, lse, delta)
 

@@ -29,6 +29,8 @@ def main():
     p.add_argument("--remat_bert", type=int, default=None)
     p.add_argument("--group_encoders", type=int, default=None)
     p.add_argument("--scan_encoders", type=int, default=None)
+    p.add_argument("--scan_layers", type=int, default=None)
+    p.add_argument("--scan_unroll", type=int, default=None)
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--steps", type=int, default=8)
     p.add_argument("--warmup", type=int, default=3)
@@ -42,9 +44,12 @@ def main():
     for key in ("attention_impl", "bert_attention_impl"):
         if getattr(args, key) is not None:
             over[key] = getattr(args, key)
-    for key in ("remat", "remat_bert", "group_encoders", "scan_encoders"):
+    for key in ("remat", "remat_bert", "group_encoders", "scan_encoders",
+                "scan_layers"):
         if getattr(args, key) is not None:
             over[key] = bool(getattr(args, key))
+    if args.scan_unroll is not None:
+        over["scan_unroll"] = args.scan_unroll
     if over:
         exp = exp.replace(model=exp.model.replace(**over))
     sys.stderr.write(f"overrides: {over}\n")
