@@ -55,10 +55,36 @@ def _hash_keep(seed: jax.Array, shape, rate: float) -> jax.Array:
     return x >= threshold
 
 
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _hash_dropout(x: jax.Array, rate: float, seed: jax.Array) -> jax.Array:
+    keep = _hash_keep(seed, x.shape, rate)
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
+def _hash_dropout_fwd(x, rate, seed):
+    # Residual is the scalar seed only: the keep mask is a pure function of
+    # (seed, element index), so the backward pass regenerates it instead of
+    # saving a pred[shape] byte-mask (which dominates activation memory on
+    # no-remat paths).
+    return _hash_dropout(x, rate, seed), seed
+
+
+def _hash_dropout_bwd(rate, seed, g):
+    keep = _hash_keep(seed, g.shape, rate)
+    return (jnp.where(keep, g / (1.0 - rate), 0.0).astype(g.dtype), None)
+
+
+_hash_dropout.defvjp(_hash_dropout_fwd, _hash_dropout_bwd)
+
+
 def hash_dropout(x: jax.Array, rate: float, rng: jax.Array) -> jax.Array:
     """Inverted dropout with the fused hash mask (training mode).
 
     Callers gate on ``rate > 0 and not deterministic`` like before.
+    The backward pass recomputes the mask from the seed (custom_vjp) —
+    zero residual memory beyond a scalar.
     """
-    keep = _hash_keep(seed_from_key(rng), x.shape, rate)
-    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+    return _hash_dropout(x, float(rate), seed_from_key(rng))

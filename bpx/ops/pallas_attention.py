@@ -39,9 +39,13 @@ guaranteed by ``bpx.data.collate``.  When no kv_lens is given and Tk needs
 no padding, the compare is skipped entirely (``full_kv`` fast path).
 
 Layout contract: inputs are (B, T, H, D) with **q already scaled** by
-``head_dim**-0.5`` (matching bpx.ops.attention).  T and D are padded to
-tile multiples; padded keys are masked analytically; padded q rows and
-D-channels are sliced off on return.
+``head_dim**-0.5`` (matching bpx.ops.attention).  The kernels consume the
+*raw* ragged shapes — D (e.g. 96, 64) and T (e.g. 200) are NOT padded in
+HBM; Mosaic pads the VMEM tiles internally, which costs nothing in DMA
+traffic.  The q block is the whole Tq whenever it fits one tile
+(<= MAX_BLOCK_Q), so K/V stream through exactly once per (batch, head).
+Only the rare long-sequence online path (Tk > 1024 or Tq > 512 with a
+non-128-multiple length) falls back to zero-padding.
 """
 
 from __future__ import annotations
@@ -61,17 +65,20 @@ SINGLE_PASS_MAX_K = 1024     # whole-K tile: direct softmax, no online pass
 NEG_INF = -1e30
 
 
-def _pick_block_q(tq_p: int) -> int:
-    """Largest 128-multiple divisor of ``tq_p`` up to MAX_BLOCK_Q.
+def _pick_block_q(tq: int) -> int:
+    """Q tile size for a (possibly ragged) ``tq``; 0 means "pad first".
 
-    The kernels are HBM-bound at these lengths: K and V are re-read once per
-    q block, so fewer/larger q blocks directly cut DMA traffic (512 -> one
-    program per batch*head instead of four).
+    Whole-Tq tile when it fits (the kernels are HBM-bound at these lengths:
+    K and V stream through once per q block, so one block per (batch, head)
+    minimises DMA); otherwise the largest 128-multiple divisor.  Returns 0
+    when no aligned divisor exists — the wrapper zero-pads Tq to 128 then.
     """
-    for cand in range(min(MAX_BLOCK_Q, tq_p), 0, -BLOCK_Q):
-        if tq_p % cand == 0:
+    if tq <= MAX_BLOCK_Q:
+        return tq
+    for cand in range(MAX_BLOCK_Q, 0, -BLOCK_Q):
+        if tq % cand == 0:
             return cand
-    return BLOCK_Q
+    return 0
 
 
 def _interpret() -> bool:
@@ -163,7 +170,7 @@ def _fwd_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc / l_safe[:, None]).astype(o_ref.dtype)
         lse = (m + jnp.log(l_safe)).astype(jnp.float32)
-        lse_ref[0] = jnp.broadcast_to(lse[None, :], (8, lse.shape[0]))
+        lse_ref[0] = lse[None, :]
         return
 
     # -- online softmax over key blocks ----------------------------------
@@ -210,10 +217,10 @@ def _fwd_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
 
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o_ref[0] = (acc / l_safe[:, None]).astype(o_ref.dtype)
-    # stats live as (8, BQ) sublane-replicated rows — TPU blocks need the
-    # last two dims tileable to (8, 128)
+    # stats live as one (1, BQ) sublane row — Mosaic masks the partial
+    # sublane store; HBM holds exactly (bh, 1, tq) fp32
     lse = (m + jnp.log(l_safe)).astype(jnp.float32)
-    lse_ref[0] = jnp.broadcast_to(lse[None, :], (8, lse.shape[0]))
+    lse_ref[0] = lse[None, :]
 
 
 def _fwd(q, k, v, kvl, seed, masked: bool, offset: int, rate: float,
@@ -239,11 +246,11 @@ def _fwd(q, k, v, kvl, seed, masked: bool, offset: int, rate: float,
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, 8, block_q), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, 8, tq), jnp.float32),
+            jax.ShapeDtypeStruct((bh, 1, tq), jnp.float32),
         ],
         interpret=_interpret())(kvl, seed, q, k, v)
     return out, lse
@@ -254,7 +261,7 @@ def _fwd(q, k, v, kvl, seed, masked: bool, offset: int, rate: float,
 # ---------------------------------------------------------------------------
 
 def _bwd_dq_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                   delta_ref, dq_ref, *,
+                   o_ref, dq_ref, *,
                    offset: int, masked: bool, full_kv: bool, blocks_k: int,
                    rate: float, tk_p: int):
     b = pl.program_id(0)
@@ -263,7 +270,10 @@ def _bwd_dq_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     q = q_ref[0]
     do = do_ref[0]
     lse = lse_ref[0, 0]
-    delta = delta_ref[0, 0]
+    # delta_i = sum_d dO*O — computed here from the saved output instead of
+    # materialising a broadcast (bh, 8, tq) tensor in HBM
+    delta = jnp.sum(do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
+                    axis=1)
     bq, d = q.shape
     tk = k_ref.shape[1]
     if rate > 0.0:
@@ -324,7 +334,7 @@ def _bwd_dq_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
 
 def _bwd_dkv_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                    delta_ref, dk_ref, dv_ref, *,
+                    o_ref, dk_ref, dv_ref, *,
                     offset: int, masked: bool, full_kv: bool, blocks_q: int,
                     rate: float, tk_p: int):
     b = pl.program_id(0)
@@ -345,7 +355,8 @@ def _bwd_dkv_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         q = q_ref[0]
         do = do_ref[0]
         lse = lse_ref[0, 0]
-        delta = delta_ref[0, 0]
+        delta = jnp.sum(do.astype(jnp.float32)
+                        * o_ref[0].astype(jnp.float32), axis=1)
         s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         _, ok = _score_mask(s, row, col, kv_len, offset, masked, full_kv)
@@ -377,7 +388,10 @@ def _bwd_dkv_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         q = q_ref[0, pl.ds(qi * BLOCK_Q, BLOCK_Q), :]
         do = do_ref[0, pl.ds(qi * BLOCK_Q, BLOCK_Q), :]
         lse = lse_ref[0, 0, pl.ds(qi * BLOCK_Q, BLOCK_Q)]
-        delta = delta_ref[0, 0, pl.ds(qi * BLOCK_Q, BLOCK_Q)]
+        delta = jnp.sum(
+            do.astype(jnp.float32)
+            * o_ref[0, pl.ds(qi * BLOCK_Q, BLOCK_Q), :].astype(jnp.float32),
+            axis=1)
         s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         row = qi * BLOCK_Q + jax.lax.broadcasted_iota(
@@ -427,9 +441,6 @@ def _bwd(masked, offset, rate, full_kv, res, g):
     dkv_blocks_q = 1 if tq <= SINGLE_PASS_MAX_K else tq // BLOCK_Q
     dkv_block_k = tk if blocks_k == 1 else BLOCK_K
 
-    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
-    delta = jnp.broadcast_to(delta[:, None, :], (bh, 8, tq))
-
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, offset=offset, masked=masked,
                           full_kv=full_kv, blocks_k=blocks_k, rate=rate,
@@ -442,12 +453,12 @@ def _bwd(masked, offset, rate, full_kv, res, g):
             pl.BlockSpec((1, tk, d), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, tk, d), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, 8, block_q), lambda b, i: (b, 0, i)),
-            pl.BlockSpec((1, 8, block_q), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
-        interpret=_interpret())(kvl, seed, q, k, v, g, lse, delta)
+        interpret=_interpret())(kvl, seed, q, k, v, g, lse, out)
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, offset=offset, masked=masked,
@@ -461,8 +472,8 @@ def _bwd(masked, offset, rate, full_kv, res, g):
             pl.BlockSpec((1, dkv_block_k, d), lambda b, j: (b, j, 0)),
             pl.BlockSpec((1, dkv_block_k, d), lambda b, j: (b, j, 0)),
             pl.BlockSpec((1, tq, d), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((1, 8, tq), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((1, 8, tq), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, 1, tq), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, tq, d), lambda b, j: (b, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, dkv_block_k, d), lambda b, j: (b, j, 0)),
@@ -472,7 +483,7 @@ def _bwd(masked, offset, rate, full_kv, res, g):
             jax.ShapeDtypeStruct((bh, tk, d), k.dtype),
             jax.ShapeDtypeStruct((bh, tk, d), v.dtype),
         ],
-        interpret=_interpret())(kvl, seed, q, k, v, g, lse, delta)
+        interpret=_interpret())(kvl, seed, q, k, v, g, lse, out)
     return dq, dk, dv, None, None
 
 
@@ -512,13 +523,19 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     Tk = k.shape[1]
     offset = abs(Tk - Tq)
 
-    tq_p, tk_p, d_p = (_round_up(Tq, BLOCK_Q), _round_up(Tk, BLOCK_K),
-                       _round_up(D, 128))
+    # The kernels consume raw ragged T and D (Mosaic pads VMEM tiles
+    # internally — no HBM traffic); zero-pad only the rare long-sequence
+    # shapes the tiled grids cannot cover.
+    tq_p = Tq if _pick_block_q(Tq) else _round_up(Tq, BLOCK_Q)
+    tk_p = (Tk if Tk <= SINGLE_PASS_MAX_K or Tk % BLOCK_K == 0
+            else _round_up(Tk, BLOCK_K))
     full_kv = kv_lens is None and Tk == tk_p
 
     def prep(x, t_p):
         x = jnp.swapaxes(x, 1, 2).reshape(B * H, x.shape[1], D)
-        return jnp.pad(x, ((0, 0), (0, t_p - x.shape[1]), (0, d_p - D)))
+        if t_p != x.shape[1]:
+            x = jnp.pad(x, ((0, 0), (0, t_p - x.shape[1]), (0, 0)))
+        return x
 
     qf, kf, vf = prep(q, tq_p), prep(k, tk_p), prep(v, tk_p)
     if kv_lens is None:
@@ -533,5 +550,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         seed = jnp.zeros((1,), jnp.uint32)
     out = _flash(qf, kf, vf, kvl, seed, masked, offset, float(dropout_rate),
                  full_kv)
-    out = out[:, :Tq, :D].reshape(B, H, Tq, D)
+    if tq_p != Tq:
+        out = out[:, :Tq]
+    out = out.reshape(B, H, Tq, D)
     return jnp.swapaxes(out, 1, 2)

@@ -32,6 +32,10 @@ def main():
     p.add_argument("--scan_layers", type=int, default=None)
     p.add_argument("--scan_unroll", type=int, default=None)
     p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="split the global batch into A sequential "
+                        "micro-batches inside the step (same update "
+                        "semantics; 1/A the activation memory)")
     p.add_argument("--steps", type=int, default=8)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--profile_dir", default=None)
@@ -64,7 +68,10 @@ def main():
 
     model = get_model(exp.model)
     host = bench._example_batch(exp, args.batch)
-    batch = {k: jnp.asarray(v[None]) for k, v in host.items()}
+    A = args.grad_accum
+    assert args.batch % A == 0
+    batch = {k: jnp.asarray(v.reshape((A, args.batch // A) + v.shape[1:]))
+             for k, v in host.items()}
     inputs = (batch["txt"][0], batch["mask"][0], batch["segment"][0],
               batch["video"][0], batch["audio"][0], batch["poster"][0])
     params = model.init({"params": jax.random.PRNGKey(0)}, *inputs)["params"]
@@ -72,7 +79,7 @@ def main():
     state = TrainState.create(params, tx)
     loss_fn = make_loss_fn("moviescope", "multilabel", False)
     step = jax.jit(make_train_step(model, exp.model.model, loss_fn, tx,
-                                   grad_accum=1), donate_argnums=(0,))
+                                   grad_accum=A), donate_argnums=(0,))
     rng = jax.random.key(0, impl="rbg")
 
     t_c = time.perf_counter()
