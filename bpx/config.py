@@ -132,6 +132,11 @@ class ModelConfig:
     # jax.checkpoint (activation-memory win for large batch/seq).
     scan_layers: bool = False
     remat: bool = False
+    # Remat recompute policy: None = full recompute; "save_attn" keeps the
+    # pallas flash outputs (out + logsumexp) as residuals so the backward
+    # recompute slice skips re-running the forward attention kernels
+    # (~50 MB/attention of extra activation memory).
+    remat_policy: Optional[str] = None
     # Selective remat: None inherits `remat`; False keeps BERT activations
     # resident (saves its recompute pass when HBM allows).
     remat_bert: Optional[bool] = None

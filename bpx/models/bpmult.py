@@ -115,7 +115,8 @@ class _BPMulTBase(nn.Module):
             attention_impl=cfg.attention_impl,
             scan_layers=(cfg.scan_layers if cfg.scan_encoders is None
                          else cfg.scan_encoders),
-            remat=cfg.remat, scan_unroll=cfg.scan_unroll, name=name)
+            remat=cfg.remat, scan_unroll=cfg.scan_unroll,
+            remat_policy=cfg.remat_policy, name=name)
 
     def _grouped_encoder(self, name: str, attn_dropout: float,
                          biprojection: bool):
@@ -141,7 +142,8 @@ class _BPMulTBase(nn.Module):
             attention_impl="xla",
             scan_layers=(cfg.scan_layers if cfg.scan_encoders is None
                          else cfg.scan_encoders),
-            remat=cfg.remat, scan_unroll=cfg.scan_unroll, name=name)
+            remat=cfg.remat, scan_unroll=cfg.scan_unroll,
+            remat_policy=cfg.remat_policy, name=name)
 
     def _make_grouped_mesh(self, biprojection_second_round: bool):
         """Grouped variant of the 12-encoder mesh: 6 vmapped pairs.
@@ -390,7 +392,9 @@ class BPMulTVAPT(_BPMulTBase):
                                 remat=remat_bert,
                                 attention_impl=(cfg.bert_attention_impl
                                                 or cfg.attention_impl),
-                                scan_unroll=cfg.scan_unroll, name="bert")
+                                scan_unroll=cfg.scan_unroll,
+                                remat_policy=cfg.remat_policy,
+                                name="bert")
         if cfg.use_audio_encoder:
             self.audio_enc = make_audio_encoder(
                 cfg.audio_encoder, cfg.orig_d_a, cfg.num_vectors_a, dt)
@@ -515,7 +519,9 @@ class BPMulTVAT(_BPMulTBase):
                                 remat=remat_bert,
                                 attention_impl=(cfg.bert_attention_impl
                                                 or cfg.attention_impl),
-                                scan_unroll=cfg.scan_unroll, name="bert")
+                                scan_unroll=cfg.scan_unroll,
+                                remat_policy=cfg.remat_policy,
+                                name="bert")
         dense_nb = lambda feat, name: nn.Dense(
             feat, use_bias=False, dtype=dt,
             kernel_init=nn.initializers.lecun_normal(), name=name)

@@ -137,6 +137,7 @@ class BertEncoder(nn.Module):
     remat: bool = False         # jax.checkpoint per layer (activation memory)
     attention_impl: str = "xla"  # "pallas" routes self-attn through flash
     scan_unroll: int = 1        # layers per scan iteration (lax.scan unroll)
+    remat_policy: "Optional[str]" = None  # see config.ModelConfig.remat_policy
 
     @nn.compact
     def __call__(self, input_ids: jax.Array, attention_mask: jax.Array,
@@ -170,10 +171,13 @@ class BertEncoder(nn.Module):
         kv_lens = attention_mask.sum(-1).astype(jnp.int32) if pallas else None
         bias = None if pallas else key_padding_bias(attention_mask,
                                                     jnp.float32)
+        from bpx.ops.encoder import resolve_remat_policy
+        policy = resolve_remat_policy(self.remat_policy)
         if self.scan_layers:
             layer_cls = _CarryBertLayer
             if self.remat:
-                layer_cls = nn.remat(layer_cls, static_argnums=(4,))
+                layer_cls = nn.remat(layer_cls, static_argnums=(4,),
+                                     policy=policy)
             scanned = nn.scan(
                 layer_cls,
                 variable_axes={"params": 0},
@@ -187,7 +191,8 @@ class BertEncoder(nn.Module):
         else:
             layer_cls = BertLayer
             if self.remat:
-                layer_cls = nn.remat(layer_cls, static_argnums=(4,))
+                layer_cls = nn.remat(layer_cls, static_argnums=(4,),
+                                     policy=policy)
             for i in range(cfg.num_layers):
                 hidden = layer_cls(cfg, self.dtype, self.attention_impl,
                                    name=f"layer{i}")(

@@ -39,6 +39,16 @@ from bpx.ops.masks import offset_future_mask
 from bpx.ops.positions import positional_embedding
 
 
+def resolve_remat_policy(name: Optional[str]):
+    """Map a config policy name to a jax.checkpoint policy (None = full)."""
+    if name is None:
+        return None
+    if name == "save_attn":
+        from bpx.ops.pallas_attention import SAVE_ATTN_POLICY
+        return SAVE_ATTN_POLICY
+    raise ValueError(f"unknown remat_policy: {name!r}")
+
+
 class TransformerEncoderLayer(nn.Module):
     """One encoder layer; mode is decided by call arguments + ``biprojection``.
 
@@ -167,6 +177,7 @@ class TransformerEncoder(nn.Module):
     scan_layers: bool = False
     remat: bool = False
     scan_unroll: int = 1
+    remat_policy: Optional[str] = None
 
     def setup(self):
         self.embed_scale = math.sqrt(self.embed_dim)
@@ -176,10 +187,12 @@ class TransformerEncoder(nn.Module):
             res_dropout=self.res_dropout, attn_mask=self.attn_mask,
             biprojection=self.biprojection, dtype=self.dtype,
             attention_impl=self.attention_impl)
+        policy = resolve_remat_policy(self.remat_policy)
         if self.scan_layers:
             layer_cls = _CarryEncoderLayer
             if self.remat:
-                layer_cls = nn.remat(layer_cls, static_argnums=(4,))
+                layer_cls = nn.remat(layer_cls, static_argnums=(4,),
+                                     policy=policy)
             scanned = nn.scan(
                 layer_cls,
                 variable_axes={"params": 0},
@@ -191,7 +204,8 @@ class TransformerEncoder(nn.Module):
         else:
             layer_cls = TransformerEncoderLayer
             if self.remat:
-                layer_cls = nn.remat(layer_cls, static_argnums=(4,))
+                layer_cls = nn.remat(layer_cls, static_argnums=(4,),
+                                     policy=policy)
             self.blocks = [layer_cls(**layer_kw, name=f"layer{i}")
                            for i in range(self.layers)]
         self.final_norm = nn.LayerNorm(dtype=self.dtype, name="final_norm")

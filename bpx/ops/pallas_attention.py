@@ -500,7 +500,22 @@ def _flash(q, k, v, kvl, seed, masked: bool, offset: int, rate: float,
 
 def _flash_fwd(q, k, v, kvl, seed, masked, offset, rate, full_kv):
     out, lse = _fwd(q, k, v, kvl, seed, masked, offset, rate, full_kv)
+    # Under jax.checkpoint with the "save_attn" policy
+    # (save_only_these_names below), tagging out/lse makes them remat
+    # residuals, which prunes the forward kernel re-run from the backward
+    # recompute slice (q/k/v come from the qkv GEMMs that the recompute
+    # produces anyway for their own grads).
+    from jax.ad_checkpoint import checkpoint_name
+    out = checkpoint_name(out, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
     return out, (q, k, v, kvl, seed, out, lse)
+
+
+#: jax.checkpoint policy that keeps flash outputs across a remat boundary —
+#: trades ~50 MB/attention of activation memory for skipping the forward
+#: kernel re-run in the backward pass.
+SAVE_ATTN_POLICY = jax.checkpoint_policies.save_only_these_names(
+    "flash_out", "flash_lse")
 
 
 _flash.defvjp(_flash_fwd, _bwd)

@@ -44,6 +44,24 @@ def model_inputs(model_name: str, batch: Dict[str, jax.Array]):
     return tuple(batch[k] for k in _INPUT_KEYS[model_name])
 
 
+# Float feature streams castable to the compute dtype.  NOT used on the
+# default path: feeding bf16 features measured +12% step time on the
+# moviescope bench (the downstream gather/projection fusions slow down more
+# than the halved input traffic saves) -- kept as an opt-in probe knob
+# (perf_probe --cast 1).  ``target`` stays fp32 (losses accumulate fp32).
+_CASTABLE = ("video", "audio", "poster")
+
+
+def cast_features(batch, dtype):
+    """Cast the large float feature streams of ``batch`` to ``dtype``."""
+    import jax.numpy as jnp
+    out = dict(batch)
+    for k in _CASTABLE:
+        if k in out and out[k].dtype == jnp.float32:
+            out[k] = out[k].astype(dtype)
+    return out
+
+
 def make_grad_mask(params, freeze_bert: bool):
     """0/1 mask zeroing frozen subtrees (ref equivalent: freeze flags,
     train.py:301-302 — computed but unused there; here they work)."""
