@@ -393,7 +393,11 @@ class BPMulTVAPT(_BPMulTBase):
                                 attention_impl=(cfg.bert_attention_impl
                                                 or cfg.attention_impl),
                                 scan_unroll=cfg.scan_unroll,
-                                remat_policy=cfg.remat_policy,
+                                # remat_policy stays full-recompute for BERT:
+                                # its saved flash outs cost ~620 MB while its
+                                # kernel-refwd share is the smaller half; with
+                                # BERT included save_attn overflows HBM by
+                                # 510 MB at batch 64
                                 name="bert")
         if cfg.use_audio_encoder:
             self.audio_enc = make_audio_encoder(
@@ -520,7 +524,11 @@ class BPMulTVAT(_BPMulTBase):
                                 attention_impl=(cfg.bert_attention_impl
                                                 or cfg.attention_impl),
                                 scan_unroll=cfg.scan_unroll,
-                                remat_policy=cfg.remat_policy,
+                                # remat_policy stays full-recompute for BERT:
+                                # its saved flash outs cost ~620 MB while its
+                                # kernel-refwd share is the smaller half; with
+                                # BERT included save_attn overflows HBM by
+                                # 510 MB at batch 64
                                 name="bert")
         dense_nb = lambda feat, name: nn.Dense(
             feat, use_bias=False, dtype=dt,

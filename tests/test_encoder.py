@@ -213,3 +213,35 @@ def test_scan_layers_cross_mode():
     out = scan.apply(v, x, xk, xk)
     assert out.shape == x.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_remat_policy_save_attn_grads_match_full():
+    """save_attn keeps flash out/lse across the remat boundary; grads must
+    match full-recompute remat exactly (policy only changes scheduling)."""
+    import os
+    os.environ["BPX_FORCE_PALLAS"] = "1"
+    try:
+        E, H, L = 32, 4, 2
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 16, E).astype(np.float32))
+        kv = jnp.asarray(rng.randn(2, 12, E).astype(np.float32))
+
+        def build(policy):
+            return TransformerEncoder(
+                embed_dim=E, num_heads=H, layers=L, attn_mask=True,
+                biprojection=True, attention_impl="pallas",
+                scan_layers=True, remat=True, remat_policy=policy)
+
+        m0, m1 = build(None), build("save_attn")
+        p = m0.init(jax.random.PRNGKey(0), x, kv, kv)
+
+        def loss(m, p):
+            return jnp.sum(m.apply(p, x, kv, kv) ** 2)
+
+        g0 = jax.grad(lambda p: loss(m0, p))(p)
+        g1 = jax.grad(lambda p: loss(m1, p))(p)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+    finally:
+        os.environ.pop("BPX_FORCE_PALLAS", None)
