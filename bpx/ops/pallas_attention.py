@@ -537,6 +537,12 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     B, Tq, H, D = q.shape
     Tk = k.shape[1]
     offset = abs(Tk - Tq)
+    # The band col <= row + offset is vacuous when offset >= Tk-1 (every
+    # key column is visible to every query row, e.g. Tq=512/Tk=200 ->
+    # offset 312): statically drop the whole mask computation (iotas,
+    # compares, selects and the loop-bound clamps) from all three kernels.
+    if masked and offset >= Tk - 1:
+        masked = False
 
     # The kernels consume raw ragged T and D (Mosaic pads VMEM tiles
     # internally — no HBM traffic); zero-pad only the rare long-sequence
