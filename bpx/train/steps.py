@@ -78,7 +78,8 @@ def make_train_step(model, model_name: str, loss_fn: Callable,
                     tx: optax.GradientTransformation,
                     grad_accum: int = 1,
                     freeze_bert: bool = False,
-                    donate: bool = True):
+                    donate: bool = True,
+                    with_grad_norm: bool = False):
     """Build the (unjitted) train step; wrap with jit/shardings via
     :func:`jit_train_step`."""
 
@@ -125,8 +126,12 @@ def make_train_step(model, model_name: str, loss_fn: Callable,
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=params,
                                   opt_state=opt_state)
-        grad_norm = optax.global_norm(grads)
-        return new_state, {"loss": loss, "grad_norm": grad_norm}
+        metrics = {"loss": loss}
+        if with_grad_norm:
+            # opt-in: the full-tree norm re-reads every fp32 grad (~1.8 GB
+            # on the moviescope model, ~8 ms/step) purely for the metric
+            metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
 
     return train_step
 
