@@ -143,7 +143,10 @@ class _BPMulTBase(nn.Module):
             scan_layers=(cfg.scan_layers if cfg.scan_encoders is None
                          else cfg.scan_encoders),
             remat=cfg.remat, scan_unroll=cfg.scan_unroll,
-            remat_policy=cfg.remat_policy, name=name)
+            # save_attn names only exist on the pallas path; on this forced
+            # xla path the policy would silently save nothing, so state the
+            # actual behavior (full recompute) explicitly
+            remat_policy=None, name=name)
 
     def _make_grouped_mesh(self, biprojection_second_round: bool):
         """Grouped variant of the 12-encoder mesh: 6 vmapped pairs.

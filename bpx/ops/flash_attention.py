@@ -5,10 +5,10 @@ additive offset future-mask, dropout on the attention probabilities —
 multihead_attention.py:110-126, transformer.py:209-216).
 
 ``flash_attention_maybe`` routes to the Pallas kernel
-(bpx.ops.pallas_attention) whenever the backend is a TPU; the kernel itself
-pads T and D to tile multiples, applies the offset band and per-sample key
-padding analytically, and fuses dropout via a counter-based hash — so no
-shape or dropout gates remain.  Off-TPU it falls back to the XLA einsum path
+(bpx.ops.pallas_attention) whenever the backend is a TPU; the kernel
+consumes raw ragged T and D (zero-padding only rare long-sequence shapes),
+applies the offset band and per-sample key padding analytically, and fuses
+dropout via a counter-based hash — so no shape or dropout gates remain.  Off-TPU it falls back to the XLA einsum path
 (same math; dropout draws differ — same Bernoulli distribution, different
 stream — documented in PARITY.md).
 

@@ -37,11 +37,11 @@ from bpx.train.metrics import compute_metrics, log_metrics, tuning_metric
 from bpx.train.optim import (EarlyStopping, PlateauScheduler, get_current_lr,
                              make_optimizer, set_lr)
 from bpx.train.state import TrainState
-from bpx.train.steps import (cast_features, make_eval_step,
-                             make_train_step, place_batch, place_state)
-# NOTE: cast_features is intentionally NOT applied on the default path —
-# feeding bf16 feature streams measured +12% step time on TPU (see PERF.md);
-# evaluate(cast_dtype=...) keeps the hook for configs where it wins.
+from bpx.train.steps import (make_eval_step, make_train_step, place_batch,
+                             place_state)
+# NOTE: steps.cast_features is intentionally NOT applied here — feeding bf16
+# feature streams measured +12% step time on TPU (see PERF.md); the probe
+# keeps it as an opt-in knob (perf_probe --cast 1).
 from bpx.utils.artifacts import store_preds_to_disk
 from bpx.utils.checkpoint import CheckpointManager
 from bpx.utils.logging import create_logger
@@ -79,15 +79,13 @@ def _stack_accum(batches):
 
 
 def evaluate(eval_step_fn, params, loader, task: str, task_type: str,
-             mesh=None, collect_gates: bool = False, cast_dtype=None):
+             mesh=None, collect_gates: bool = False):
     """No-grad eval loop -> stacked metrics
     (ref: train.py:165-280 ``model_eval``)."""
     all_logits, all_targets, all_losses, all_gates = [], [], [], []
     for batch in loader:
         valid = batch.pop("valid", None)
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
-        if cast_dtype is not None:
-            jbatch = cast_features(jbatch, cast_dtype)
         if mesh is not None:
             jbatch = place_batch(jbatch, mesh, has_accum_axis=False)
         out = eval_step_fn(params, jbatch)

@@ -54,7 +54,6 @@ _CASTABLE = ("video", "audio", "poster")
 
 def cast_features(batch, dtype):
     """Cast the large float feature streams of ``batch`` to ``dtype``."""
-    import jax.numpy as jnp
     out = dict(batch)
     for k in _CASTABLE:
         if k in out and out[k].dtype == jnp.float32:

@@ -28,8 +28,10 @@ def _mk(B, Tq, Tk, H, D, seed=0):
     (128, 128, True),      # square causal
     (128, 256, True),      # wide band (offset 128)
     (256, 128, True),      # tall band
-    (200, 200, True),      # needs padding to 256
+    (200, 200, True),      # ragged whole-Tq tile (no padding since round 2)
     (128, 200, False),     # unmasked with key padding
+    (600, 1160, True),     # pad fallback: Tq>512 non-128-mult, Tk>1024
+                           # non-128-mult -> both zero-padded, online path
 ])
 def test_flash_matches_einsum(tq, tk, masked):
     B, H, D = 1, 2, 64
