@@ -26,50 +26,62 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 # Bench config: Moviescope 4-modal (BASELINE.md config 4) at global batch 64.
 BATCH = 64
-BENCH_STEPS = 10
+BENCH_STEPS = 30
 WARMUP_STEPS = 3
 
 
-def bench_config():
+def bench_config(preset: str = "moviescope", batch: int = None):
     from bpx.config import get_preset
     import dataclasses
-    exp = get_preset("moviescope")
-    return exp.replace(data=dataclasses.replace(exp.data, batch_sz=BATCH))
+    exp = get_preset(preset)
+    if batch is None:
+        batch = BATCH     # module global, overridable by perf_probe
+    return exp.replace(data=dataclasses.replace(exp.data, batch_sz=batch))
 
 
 def _example_batch(exp, batch):
+    """Synthetic batch shaped for the preset's model/task (any of the
+    BASELINE.md configs, not just moviescope)."""
+    from bpx.train.steps import _INPUT_KEYS
     mc, dc = exp.model, exp.data
     rng = np.random.RandomState(0)
     L = dc.max_seq_len
-    return {
+    streams = {
         "txt": rng.randint(1, mc.bert.vocab_size, (batch, L)).astype(np.int32),
         "mask": np.ones((batch, L), np.int32),
         "segment": np.zeros((batch, L), np.int32),
         "video": rng.randn(batch, dc.video_len, mc.orig_d_v).astype(np.float32),
         "audio": rng.randn(batch, dc.audio_raw_len, mc.orig_d_a).astype(np.float32),
         "poster": rng.randn(batch, mc.orig_d_p).astype(np.float32),
-        "target": (rng.rand(batch, mc.n_classes) > 0.5).astype(np.float32),
     }
+    out = {k: streams[k] for k in _INPUT_KEYS[mc.model]}
+    if dc.task == "cmu-mosi":
+        out["target"] = rng.randn(batch).astype(np.float32)
+    elif dc.task_type == "multilabel":
+        out["target"] = (rng.rand(batch, mc.n_classes) > 0.5).astype(np.float32)
+    else:
+        out["target"] = rng.randint(0, mc.n_classes, batch).astype(np.int32)
+    return out
 
 
-def measure_tpu(exp) -> float:
+def measure_tpu(exp, batch_size: int, steps: int = BENCH_STEPS):
     import jax
     import jax.numpy as jnp
     from bpx.models import get_model
     from bpx.train.losses import make_loss_fn
     from bpx.train.optim import make_optimizer
     from bpx.train.state import TrainState
-    from bpx.train.steps import make_train_step
+    from bpx.train.steps import make_train_step, model_inputs
 
     model = get_model(exp.model)
-    host = _example_batch(exp, BATCH)
+    host = _example_batch(exp, batch_size)
     batch = {k: jnp.asarray(v[None]) for k, v in host.items()}  # accum=1
-    inputs = (batch["txt"][0], batch["mask"][0], batch["segment"][0],
-              batch["video"][0], batch["audio"][0], batch["poster"][0])
+    inputs = model_inputs(exp.model.model,
+                          {k: v[0] for k, v in batch.items()})
     params = model.init({"params": jax.random.PRNGKey(0)}, *inputs)["params"]
     tx = make_optimizer(1e-4)
     state = TrainState.create(params, tx)
-    loss_fn = make_loss_fn("moviescope", "multilabel", False)
+    loss_fn = make_loss_fn(exp.data.task, exp.data.task_type, False)
     step = jax.jit(make_train_step(model, exp.model.model, loss_fn, tx,
                                    grad_accum=1), donate_argnums=(0,))
     # rbg: the TPU hardware PRNG for dropout masks (threefry measured ~20%
@@ -84,14 +96,22 @@ def measure_tpu(exp) -> float:
         float(metrics["loss"])
 
     times = []
-    for _ in range(BENCH_STEPS):
+    for _ in range(steps):
         t0 = time.perf_counter()
         state, metrics = step(state, batch, rng)
         float(metrics["loss"])
         times.append(time.perf_counter() - t0)
-    p50 = sorted(times)[len(times) // 2]
-    sys.stderr.write(f"p50 step latency: {p50*1000:.1f} ms\n")
-    return BATCH / p50
+    ms = sorted(t * 1000 for t in times)
+    stats = {"p50_ms": round(ms[len(ms) // 2], 1),
+             "p90_ms": round(ms[min(len(ms) - 1, int(len(ms) * 0.9))], 1),
+             "min_ms": round(ms[0], 1),
+             "steps": len(ms)}
+    # full distribution to stderr so relay-congestion outliers are visible
+    sys.stderr.write("step times (ms): " +
+                     " ".join(f"{t*1000:.1f}" for t in times) + "\n")
+    sys.stderr.write(f"p50 {stats['p50_ms']} ms | p90 {stats['p90_ms']} ms "
+                     f"| min {stats['min_ms']} ms over {stats['steps']} steps\n")
+    return batch_size / (stats["p50_ms"] / 1000.0), stats
 
 
 def measure_torch_cpu_baseline(exp, batch: int = 2, steps: int = 2) -> float:
@@ -224,11 +244,17 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--remeasure-baseline", action="store_true")
     parser.add_argument("--skip-baseline", action="store_true")
+    parser.add_argument("--preset", default="moviescope",
+                        help="any BASELINE.md config preset "
+                             "(moviescope|mmimdb|iemocap|cmu-mosei|...)")
+    parser.add_argument("--batch", type=int, default=BATCH)
+    parser.add_argument("--steps", type=int, default=BENCH_STEPS)
     args = parser.parse_args()
 
-    exp = bench_config()
-    tpu_sps = measure_tpu(exp)
-    if args.skip_baseline:
+    exp = bench_config(args.preset, args.batch)
+    tpu_sps, stats = measure_tpu(exp, args.batch, args.steps)
+    # the torch-CPU baseline model is moviescope-shaped only
+    if args.skip_baseline or args.preset != "moviescope":
         baseline = None
     else:
         try:
@@ -240,7 +266,8 @@ def main():
     result = {"metric": "samples_per_sec_per_chip",
               "value": round(tpu_sps, 2),
               "unit": "samples/s",
-              "vs_baseline": round(tpu_sps / baseline, 2) if baseline else None}
+              "vs_baseline": round(tpu_sps / baseline, 2) if baseline else None,
+              "preset": args.preset, "batch": args.batch, **stats}
     print(json.dumps(result))
 
 

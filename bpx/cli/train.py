@@ -50,7 +50,8 @@ def get_args(parser: argparse.ArgumentParser):
     parser.add_argument("--model", type=str, default="mmtrvapt",
                         choices=["mmtrvat", "mmtrvapt",
                                  # notebook-era models (SURVEY.md C30)
-                                 "mmtrvpa", "tmmtrvpa", "gmu", "gmu_bi"])
+                                 "mmtrvpa", "tmmtrvpa", "gmu", "gmu_bi",
+                                 "gmu_hier", "gmu_softmax"])
     parser.add_argument("--n_workers", type=int, default=4)
     parser.add_argument("--name", type=str, default="nameless")
     parser.add_argument("--visual", type=str, default="both",

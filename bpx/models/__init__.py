@@ -6,6 +6,8 @@ the flax module from a :class:`bpx.config.ModelConfig`.
 
 from __future__ import annotations
 
+from functools import partial
+
 from bpx.config import ModelConfig
 from bpx.models.bpmult import BPMulTVAPT, BPMulTVAT
 from bpx.models.legacy import (GMUBimodalClf, GMUClf, MulTGMUClf,
@@ -22,6 +24,10 @@ MODELS = {
     "tmmtrvpa": TranslatingMMTGMUClf,  # Translating MMT + GMU
     "gmu": GMUClf,                     # simple trimodal GMU classifier
     "gmu_bi": GMUBimodalClf,           # bimodal text+video GMU classifier
+    # the GMU-proposal variants benchmarked in the DEMO_GMUs notebook
+    # (cells 52/54, side-by-side runs cells 72-77)
+    "gmu_hier": partial(GMUClf, gmu_variant="hierarchical"),
+    "gmu_softmax": partial(GMUClf, gmu_variant="softmax"),
 }
 
 

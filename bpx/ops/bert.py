@@ -212,21 +212,30 @@ class BertEncoder(nn.Module):
 
 def load_hf_bert_params(state_dict, config: BertConfig,
                         scan_layers: bool = False):
-    """Convert an HF torch BertModel state_dict into this module's params.
+    """Convert an HF torch state_dict into this module's params.
 
-    Works with the ``bert-base-uncased`` layout (prefix ``bert.`` optional).
+    Handles both checkpoint layouts the reference CLI advertises
+    (ref: train.py:34 lists ``bert-base-uncased`` and
+    ``distilbert-base-uncased``; mmtr.py:148 ``from_pretrained(args.bert_model)``):
+
+    * BertModel: ``[bert.]encoder.layer.{i}.attention.self.query...``
+    * DistilBertModel: ``[distilbert.]transformer.layer.{i}.attention.q_lin...``
+      (auto-detected; pair with ``BertConfig.distil()`` — no token types)
+
     ``scan_layers=True`` stacks the per-layer trees along a leading depth
     axis to match the nn.scan parameter layout.  Only used when a local
     checkpoint is available — no network access.
     """
     import numpy as np
 
+    distil = any("transformer.layer." in k for k in state_dict)
+    prefixes = ("", "distilbert.") if distil else ("", "bert.")
+
     def get(name):
-        for key in (name, f"bert.{name}"):
-            if key in state_dict:
-                return np.asarray(state_dict[key].numpy()
-                                  if hasattr(state_dict[key], "numpy")
-                                  else state_dict[key])
+        for pre in prefixes:
+            if pre + name in state_dict:
+                v = state_dict[pre + name]
+                return np.asarray(v.numpy() if hasattr(v, "numpy") else v)
         raise KeyError(name)
 
     def dense(prefix):
@@ -242,11 +251,27 @@ def load_hf_bert_params(state_dict, config: BertConfig,
             "embedding": get("embeddings.word_embeddings.weight")},
         "position_embeddings": {
             "embedding": get("embeddings.position_embeddings.weight")},
-        "token_type_embeddings": {
-            "embedding": get("embeddings.token_type_embeddings.weight")},
         "embeddings_norm": norm("embeddings.LayerNorm"),
     }
+    if config.use_token_type:
+        params["token_type_embeddings"] = {
+            "embedding": get("embeddings.token_type_embeddings.weight")}
+
     def layer_tree(i):
+        if distil:
+            p = f"transformer.layer.{i}"
+            return {
+                "attention": {
+                    "query": dense(f"{p}.attention.q_lin"),
+                    "key": dense(f"{p}.attention.k_lin"),
+                    "value": dense(f"{p}.attention.v_lin"),
+                },
+                "attention_output": dense(f"{p}.attention.out_lin"),
+                "attention_norm": norm(f"{p}.sa_layer_norm"),
+                "intermediate": dense(f"{p}.ffn.lin1"),
+                "output": dense(f"{p}.ffn.lin2"),
+                "output_norm": norm(f"{p}.output_layer_norm"),
+            }
         p = f"encoder.layer.{i}"
         return {
             "attention": {

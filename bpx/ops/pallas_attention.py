@@ -95,13 +95,25 @@ def _round_up(x: int, m: int) -> int:
 # stateless dropout mask
 # ---------------------------------------------------------------------------
 
+def _use_fast_hash() -> bool:
+    """2-round mixer instead of the 3-round murmur3 finalizer (saves ~1/3 of
+    the per-element integer ops in every dropout site).  Opt-out knob:
+    BPX_FAST_HASH=0 restores the full finalizer."""
+    import os
+    return os.environ.get("BPX_FAST_HASH", "1") != "0"
+
+
 def _keep_mask(seed, bh, row, col, tk_p: int, rate: float):
     """Bernoulli(1-rate) keep mask from a counter-based hash.
 
     ``row``/``col`` are int32 global coordinate grids; the global element
-    index mixed with the seed goes through the murmur3 finalizer (full
-    avalanche), so fwd and both bwd kernels regenerate the identical mask
-    from (seed, bh, row, col) alone.
+    index mixed with the seed goes through an avalanche mixer, so fwd and
+    both bwd kernels regenerate the identical mask from
+    (seed, bh, row, col) alone.  Two statically-selected mixers: the
+    murmur3 finalizer (3 rounds) or a 2-round xorshift-multiply variant
+    (default — a Bernoulli threshold test needs no perfect avalanche,
+    only absence of visible lane/row correlation, which round-trips
+    through two multiplies fine).
     """
     idx = (bh.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
            + row.astype(jnp.uint32) * jnp.uint32(tk_p)
@@ -110,8 +122,9 @@ def _keep_mask(seed, bh, row, col, tk_p: int, rate: float):
     x = x ^ (x >> 16)
     x = x * jnp.uint32(0x85EBCA6B)
     x = x ^ (x >> 13)
-    x = x * jnp.uint32(0xC2B2AE35)
-    x = x ^ (x >> 16)
+    if not _use_fast_hash():
+        x = x * jnp.uint32(0xC2B2AE35)
+        x = x ^ (x >> 16)
     threshold = jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
     return x >= threshold
 
@@ -153,8 +166,14 @@ def _fwd_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
 
     if blocks_k == 1:
         # -- single-pass: direct softmax over the whole key range ---------
-        row = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, tk), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (bq, tk), 1)
+        # coordinate grids only when some per-element predicate needs them
+        # (band mask, padding mask, dropout hash) — the deterministic
+        # full-kv path skips the iotas entirely
+        if masked or not full_kv or rate > 0.0:
+            row = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, tk), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (bq, tk), 1)
+        else:
+            row = col = None
         s = jax.lax.dot_general(q, k_ref[0], (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         s, _ = _score_mask(s, row, col, kv_len, offset, masked, full_kv)
@@ -263,17 +282,22 @@ def _fwd(q, k, v, kvl, seed, masked: bool, offset: int, rate: float,
 def _bwd_dq_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
                    o_ref, dq_ref, *,
                    offset: int, masked: bool, full_kv: bool, blocks_k: int,
-                   rate: float, tk_p: int):
+                   rate: float, tk_p: int, xla_delta: bool):
     b = pl.program_id(0)
     qi = pl.program_id(1)
     kv_len = None if full_kv else kvl_ref[b]
     q = q_ref[0]
     do = do_ref[0]
     lse = lse_ref[0, 0]
-    # delta_i = sum_d dO*O — computed here from the saved output instead of
-    # materialising a broadcast (bh, 8, tq) tensor in HBM
-    delta = jnp.sum(do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
-                    axis=1)
+    if xla_delta:
+        # delta_i = sum_d dO*O precomputed once by an XLA fusion and shared
+        # with the dkv kernel — o_ref holds the (1, 1, BQ) delta row
+        delta = o_ref[0, 0]
+    else:
+        # computed here from the saved output instead of materialising a
+        # broadcast (bh, 8, tq) tensor in HBM
+        delta = jnp.sum(do.astype(jnp.float32)
+                        * o_ref[0].astype(jnp.float32), axis=1)
     bq, d = q.shape
     tk = k_ref.shape[1]
     if rate > 0.0:
@@ -282,8 +306,11 @@ def _bwd_dq_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
     if blocks_k == 1:
         # -- single-pass --------------------------------------------------
-        row = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, tk), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (bq, tk), 1)
+        if masked or not full_kv or rate > 0.0:
+            row = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, tk), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (bq, tk), 1)
+        else:
+            row = col = None
         s = jax.lax.dot_general(q, k_ref[0], (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         _, ok = _score_mask(s, row, col, kv_len, offset, masked, full_kv)
@@ -336,7 +363,7 @@ def _bwd_dq_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 def _bwd_dkv_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
                     o_ref, dk_ref, dv_ref, *,
                     offset: int, masked: bool, full_kv: bool, blocks_q: int,
-                    rate: float, tk_p: int):
+                    rate: float, tk_p: int, xla_delta: bool):
     b = pl.program_id(0)
     kj = pl.program_id(1)
     kv_len = None if full_kv else kvl_ref[b]
@@ -350,13 +377,19 @@ def _bwd_dkv_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
     if blocks_q == 1:
         # -- single-pass: the whole Q range in one tile --------------------
-        row = jax.lax.broadcasted_iota(jnp.int32, (tq, bk), 0)
-        col = kj * bk + jax.lax.broadcasted_iota(jnp.int32, (tq, bk), 1)
+        if masked or not full_kv or rate > 0.0:
+            row = jax.lax.broadcasted_iota(jnp.int32, (tq, bk), 0)
+            col = kj * bk + jax.lax.broadcasted_iota(jnp.int32, (tq, bk), 1)
+        else:
+            row = col = None
         q = q_ref[0]
         do = do_ref[0]
         lse = lse_ref[0, 0]
-        delta = jnp.sum(do.astype(jnp.float32)
-                        * o_ref[0].astype(jnp.float32), axis=1)
+        if xla_delta:
+            delta = o_ref[0, 0]
+        else:
+            delta = jnp.sum(do.astype(jnp.float32)
+                            * o_ref[0].astype(jnp.float32), axis=1)
         s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         _, ok = _score_mask(s, row, col, kv_len, offset, masked, full_kv)
@@ -388,10 +421,13 @@ def _bwd_dkv_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         q = q_ref[0, pl.ds(qi * BLOCK_Q, BLOCK_Q), :]
         do = do_ref[0, pl.ds(qi * BLOCK_Q, BLOCK_Q), :]
         lse = lse_ref[0, 0, pl.ds(qi * BLOCK_Q, BLOCK_Q)]
-        delta = jnp.sum(
-            do.astype(jnp.float32)
-            * o_ref[0, pl.ds(qi * BLOCK_Q, BLOCK_Q), :].astype(jnp.float32),
-            axis=1)
+        if xla_delta:
+            delta = o_ref[0, 0, pl.ds(qi * BLOCK_Q, BLOCK_Q)]
+        else:
+            delta = jnp.sum(
+                do.astype(jnp.float32)
+                * o_ref[0, pl.ds(qi * BLOCK_Q, BLOCK_Q), :]
+                .astype(jnp.float32), axis=1)
         s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         row = qi * BLOCK_Q + jax.lax.broadcasted_iota(
@@ -429,6 +465,15 @@ def _bwd_dkv_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
+def _use_xla_delta() -> bool:
+    """delta = sum_d dO*O precomputed by one XLA fusion (reads dO+O once,
+    writes (bh, 1, tq) fp32) and consumed by BOTH backward kernels, instead
+    of each kernel re-reading O and re-reducing it.  Opt-out knob:
+    BPX_XLA_DELTA=0 restores the in-kernel computation."""
+    import os
+    return os.environ.get("BPX_XLA_DELTA", "1") != "0"
+
+
 def _bwd(masked, offset, rate, full_kv, res, g):
     q, k, v, kvl, seed, out, lse = res
     bh, tq, d = q.shape
@@ -441,10 +486,22 @@ def _bwd(masked, offset, rate, full_kv, res, g):
     dkv_blocks_q = 1 if tq <= SINGLE_PASS_MAX_K else tq // BLOCK_Q
     dkv_block_k = tk if blocks_k == 1 else BLOCK_K
 
+    xla_delta = _use_xla_delta()
+    if xla_delta:
+        # one fusion shared by both kernels; (bh, 1, tq) like lse
+        o_arg = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                        axis=-1)[:, None, :]
+        dq_o_spec = pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i))
+        dkv_o_spec = pl.BlockSpec((1, 1, tq), lambda b, j: (b, 0, 0))
+    else:
+        o_arg = out
+        dq_o_spec = pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0))
+        dkv_o_spec = pl.BlockSpec((1, tq, d), lambda b, j: (b, 0, 0))
+
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, offset=offset, masked=masked,
                           full_kv=full_kv, blocks_k=blocks_k, rate=rate,
-                          tk_p=tk),
+                          tk_p=tk, xla_delta=xla_delta),
         grid=(bh, blocks_q),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -454,16 +511,16 @@ def _bwd(masked, offset, rate, full_kv, res, g):
             pl.BlockSpec((1, tk, d), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i)),
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+            dq_o_spec,
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
-        interpret=_interpret())(kvl, seed, q, k, v, g, lse, out)
+        interpret=_interpret())(kvl, seed, q, k, v, g, lse, o_arg)
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, offset=offset, masked=masked,
                           full_kv=full_kv, blocks_q=dkv_blocks_q, rate=rate,
-                          tk_p=tk),
+                          tk_p=tk, xla_delta=xla_delta),
         grid=(bh, tk // dkv_block_k),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -473,7 +530,7 @@ def _bwd(masked, offset, rate, full_kv, res, g):
             pl.BlockSpec((1, dkv_block_k, d), lambda b, j: (b, j, 0)),
             pl.BlockSpec((1, tq, d), lambda b, j: (b, 0, 0)),
             pl.BlockSpec((1, 1, tq), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((1, tq, d), lambda b, j: (b, 0, 0)),
+            dkv_o_spec,
         ],
         out_specs=[
             pl.BlockSpec((1, dkv_block_k, d), lambda b, j: (b, j, 0)),
@@ -483,7 +540,7 @@ def _bwd(masked, offset, rate, full_kv, res, g):
             jax.ShapeDtypeStruct((bh, tk, d), k.dtype),
             jax.ShapeDtypeStruct((bh, tk, d), v.dtype),
         ],
-        interpret=_interpret())(kvl, seed, q, k, v, g, lse, out)
+        interpret=_interpret())(kvl, seed, q, k, v, g, lse, o_arg)
     return dq, dk, dv, None, None
 
 

@@ -47,9 +47,16 @@ def make_mesh(config: MeshConfig = MeshConfig(),
     assert data * fsdp * tensor == n, \
         f"mesh {data}x{fsdp}x{tensor} != {n} devices"
     if jax.process_count() > 1:
+        # The DCN granule is the TPU slice when the platform reports one
+        # slice per process; CPU (and single-slice multi-process setups)
+        # report fewer slices than processes, so fall back to process
+        # boundaries (exercised by the 2-process CPU smoke test,
+        # test_distributed.py::test_multihost_two_process_dp).
+        n_slices = len({getattr(d, "slice_index", None) for d in devices})
         mesh_devices = mesh_utils.create_hybrid_device_mesh(
             (data // jax.process_count(), fsdp, tensor),
-            (jax.process_count(), 1, 1), devices=devices)
+            (jax.process_count(), 1, 1), devices=devices,
+            process_is_granule=n_slices != jax.process_count())
     else:
         mesh_devices = mesh_utils.create_device_mesh((data, fsdp, tensor),
                                                      devices=devices)

@@ -4,10 +4,24 @@ Megatron-style tensor parallelism over the ``tensor`` axis, optional FSDP over
 ``fsdp``, batch over ``data``:
 
 * "column-parallel" kernels (q/k/v projections, fc1/intermediate, GMU gate and
-  hidden projections) shard their *output* features on ``tensor`` — the
-  following contraction is local;
+  hidden projections) shard their *output* features on the merged
+  ``(tensor, fsdp)`` group — the following contraction is local;
 * "row-parallel" kernels (attention out_proj, fc2/output) shard their *input*
-  features on ``tensor`` — XLA inserts the psum at the block boundary;
+  features on ``(tensor, fsdp)`` — XLA inserts the psum at the block
+  boundary.
+
+Both rules place the model-parallel axes on the SAME (Megatron-inner) dim as
+a merged group: per-device storage is 1/(tensor*fsdp), like the previous
+split ``P("fsdp", "tensor")`` / ``P("tensor", "fsdp")`` layout, but the
+weight dims never carry ``fsdp`` *alone opposite* the batch's
+``(data, fsdp)`` sharding.  That opposite-dim layout did not just produce
+"involuntary full rematerialization" warnings — it MISCOMPILED on XLA:CPU
+(jax 0.9.0, GSPMD and Shardy alike): a Dense whose input and weights were
+bit-identical to the replicated run returned values off by O(1) in forward
+(row-parallel case), and column-parallel ``P("fsdp", tensor")`` corrupted
+backward gradients by ~0.3 at grad magnitude 0.44.  Caught by
+test_distributed.py::test_fsdp_tp_matches_single_device; verified leaf-wise
+against host recomputation.
 * embeddings shard the vocab axis on ``fsdp``;
 * everything 1-D (biases, LayerNorms) replicates.
 
@@ -43,9 +57,9 @@ def _spec_for(path: Tuple[str, ...], leaf) -> P:
         return P("fsdp", None)
     if last == "kernel" and ndim == 2:
         if any(key in parent for key in _COLUMN_PARALLEL):
-            return P("fsdp", "tensor")
+            return P(None, ("tensor", "fsdp"))
         if any(key in parent for key in _ROW_PARALLEL):
-            return P("tensor", "fsdp")
+            return P(("tensor", "fsdp"), None)
         return P("fsdp", None)
     if last == "kernel" and ndim == 3:     # conv (K, Cin, Cout)
         return P(None, None, "tensor")

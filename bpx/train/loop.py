@@ -79,10 +79,20 @@ def _stack_accum(batches):
 
 
 def evaluate(eval_step_fn, params, loader, task: str, task_type: str,
-             mesh=None, collect_gates: bool = False):
+             mesh=None, collect_gates: bool = False, loss_fn=None):
     """No-grad eval loop -> stacked metrics
-    (ref: train.py:165-280 ``model_eval``)."""
-    all_logits, all_targets, all_losses, all_gates = [], [], [], []
+    (ref: train.py:165-280 ``model_eval``).
+
+    When ``loss_fn`` is given, the reported loss is recomputed host-side
+    over the concatenated valid-sliced logits/targets — the wrap-padded
+    rows of the final partial batch (loaders.py BatchIterator) are
+    provably excluded, and there is no mean-of-batch-means bias.
+    Without it, falls back to a valid-count-weighted mean of the
+    per-batch device losses (still includes padded rows in the final
+    batch's own mean).
+    """
+    all_logits, all_targets, all_gates = [], [], []
+    batch_losses, batch_weights = [], []
     for batch in loader:
         valid = batch.pop("valid", None)
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -93,13 +103,20 @@ def evaluate(eval_step_fn, params, loader, task: str, task_type: str,
         n = logits.shape[0] if valid is None else int(valid.sum())
         all_logits.append(logits[:n])
         all_targets.append(np.asarray(batch["target"])[:n])
-        all_losses.append(float(out["loss"]))
+        batch_losses.append(float(out["loss"]))
+        batch_weights.append(n)
         if collect_gates and "gates" in out:
             all_gates.append(np.asarray(out["gates"])[:n])
     logits = np.concatenate(all_logits)
     targets = np.concatenate(all_targets)
+    if loss_fn is not None:
+        losses = np.asarray(
+            [float(loss_fn(jnp.asarray(logits), jnp.asarray(targets)))])
+        weights = None
+    else:
+        losses, weights = np.asarray(batch_losses), np.asarray(batch_weights)
     metrics = compute_metrics(task, task_type, logits, targets,
-                              np.asarray(all_losses))
+                              losses, weights)
     gates = np.concatenate(all_gates) if all_gates else None
     return metrics, logits, targets, gates
 
@@ -211,7 +228,8 @@ def train(exp: ExperimentConfig, data_all=None,
                     get_current_lr(state.opt_state))
 
         metrics, *_ = evaluate(eval_step, state.params, val_loader,
-                               dcfg.task, dcfg.task_type, mesh)
+                               dcfg.task, dcfg.task_type, mesh,
+                               loss_fn=loss_fn)
         log_metrics(f"Val epoch {epoch}", metrics, dcfg.task, logger)
 
         tune = tuning_metric(dcfg.task, dcfg.task_type, metrics)
@@ -267,7 +285,7 @@ def test(exp: ExperimentConfig, data_all=None,
                                        output_gates=tcfg.output_gates))
     metrics, logits, targets, gates = evaluate(
         eval_step, state.params, test_loader, dcfg.task, dcfg.task_type,
-        mesh, collect_gates=tcfg.output_gates)
+        mesh, collect_gates=tcfg.output_gates, loss_fn=loss_fn)
     log_metrics("Test", metrics, dcfg.task, logger)
 
     if dcfg.task_type == "multilabel":

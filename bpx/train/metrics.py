@@ -46,11 +46,17 @@ def _sigmoid(x):
 
 def compute_metrics(task: str, task_type: str,
                     logits: np.ndarray, targets: np.ndarray,
-                    losses: Optional[np.ndarray] = None) -> Dict[str, float]:
-    """Stacked (N, C) logits + targets -> metric dict (ref: train.py:195-270)."""
+                    losses: Optional[np.ndarray] = None,
+                    loss_weights: Optional[np.ndarray] = None
+                    ) -> Dict[str, float]:
+    """Stacked (N, C) logits + targets -> metric dict (ref: train.py:195-270).
+
+    ``loss_weights`` (per-batch valid-sample counts) excludes wrap-padded
+    rows of the final partial batch from the reported mean loss.
+    """
     metrics: Dict[str, float] = {}
     if losses is not None:
-        metrics["loss"] = float(np.mean(losses))
+        metrics["loss"] = float(np.average(losses, weights=loss_weights))
 
     if task_type == "multilabel":
         raw = _sigmoid(logits)

@@ -83,16 +83,9 @@ def radam(learning_rate: float, b1: float = 0.9, b2: float = 0.999,
         ))(learning_rate=learning_rate)
 
 
-def plain_radam(learning_rate: float, b1: float = 0.9, b2: float = 0.999,
-                eps: float = 1e-8,
-                degenerate_to_sgd: bool = True
-                ) -> optax.GradientTransformation:
-    """Unbuffered variant (ref: optimization.py:103-176).  Same math as
-    :func:`radam` without the per-step-size buffer (which only caches the
-    rectification term); ``degenerated_to_sgd`` defaults True like the
-    reference (optimization.py:104)."""
-    return optax.inject_hyperparams(
-        lambda learning_rate: optax.chain(
-            _radam_core(b1, b2, eps, degenerate_to_sgd),
-            optax.scale_by_learning_rate(learning_rate),
-        ))(learning_rate=learning_rate)
+# The reference's RAdam/PlainRAdam split (optimization.py:16-100 vs 103-176)
+# is purely a host-side caching detail: RAdam memoises the rectification term
+# per step count, PlainRAdam recomputes it.  The update math is identical, so
+# here ``plain_radam`` IS ``radam`` — the alias exists only so the CLI keeps
+# the reference's ``--optimizer plain_radam`` choice.
+plain_radam = radam

@@ -37,6 +37,8 @@ _INPUT_KEYS = {
     "tmmtrvpa": ("txt", "mask", "segment", "video", "audio"),
     "gmu": ("txt", "mask", "segment", "video", "audio"),
     "gmu_bi": ("txt", "mask", "segment", "video"),
+    "gmu_hier": ("txt", "mask", "segment", "video", "audio"),
+    "gmu_softmax": ("txt", "mask", "segment", "video", "audio"),
 }
 
 

@@ -23,9 +23,22 @@ from bpx.train.loop import test, train
 
 
 def main():
+    import argparse
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--suite", default="generations", choices=["generations", "gmus"],
+        help="'generations' = notebook 1's model-generation comparison; "
+             "'gmus' = notebook 2's bimodal/trimodal/hier/softmax GMU "
+             "side-by-side (DEMO_GMUs cells 68-77)")
+    args = parser.parse_args()
+
+    suites = {
+        "generations": ["gmu", "tmmtrvpa", "mmtrvapt"],
+        "gmus": ["gmu_bi", "gmu", "gmu_hier", "gmu_softmax"],
+    }
     results = {}
     base = get_preset("synthetic-tiny")
-    for name in ["gmu", "tmmtrvpa", "mmtrvapt"]:
+    for name in suites[args.suite]:
         model_cfg = base.model.replace(
             model=name, use_poster=(name == "mmtrvapt"))
         exp = base.replace(

@@ -35,8 +35,24 @@ def _batch(cfg, B=2):
 
 
 def test_registry_has_legacy_models():
-    for name in ["mmtrvpa", "tmmtrvpa", "gmu", "gmu_bi"]:
+    for name in ["mmtrvpa", "tmmtrvpa", "gmu", "gmu_bi",
+                 "gmu_hier", "gmu_softmax"]:
         assert name in MODELS
+
+
+@pytest.mark.parametrize("name", ["gmu_hier", "gmu_softmax"])
+def test_gmu_variant_registry_forward(name):
+    """The notebook GMU variants are selectable end-to-end via the registry
+    (DEMO_GMUs cells 52/54; side-by-side runs cells 72-77)."""
+    cfg = _cfg(model=name)
+    m = get_model(cfg)
+    assert m.gmu_variant == {"gmu_hier": "hierarchical",
+                             "gmu_softmax": "softmax"}[name]
+    batch = _batch(cfg)
+    variables = m.init({"params": jax.random.PRNGKey(0)}, *batch)
+    logits = m.apply(variables, *batch)
+    assert logits.shape == (2, cfg.n_classes)
+    assert np.isfinite(np.asarray(logits)).all()
 
 
 @pytest.mark.parametrize("name", ["mmtrvpa", "tmmtrvpa", "gmu"])
