@@ -281,6 +281,11 @@ def _mmimdb() -> ExperimentConfig:
             hidden_sz=768, num_heads=6, layers=4,
             num_vectors_l=512, num_vectors_a=512, num_vectors_v=512,
             use_audio_encoder=False, use_poster=True,
+            # T=512 on all three streams: without remat the full-size
+            # attention residuals OOM a single v5e at batch 64 (measured
+            # 57.2 G of 15.75 G); head_dim 128 rides the flash kernels
+            scan_layers=True, remat=True, attention_impl="pallas",
+            remat_policy="save_attn",
         ),
         data=DataConfig(task="mmimdb", task_type="multilabel",
                         audio_raw_len=512, video_len=512),
@@ -296,6 +301,9 @@ def _iemocap() -> ExperimentConfig:
             hidden_sz=300, num_heads=12, layers=8,
             num_vectors_l=512, num_vectors_a=512, num_vectors_v=512,
             use_audio_encoder=False, use_poster=False,
+            # trimodal T=512 without remat OOMs at batch 64 (94 G needed);
+            # head_dim 25 stays on the einsum path
+            scan_layers=True, remat=True,
         ),
         data=DataConfig(task="iemocap", task_type="multilabel",
                         audio_raw_len=512, video_len=512),
@@ -311,6 +319,8 @@ def _cmu_mosei() -> ExperimentConfig:
             hidden_sz=300, num_heads=10, layers=8,
             num_vectors_l=512, num_vectors_a=512, num_vectors_v=512,
             use_audio_encoder=False, use_poster=False,
+            # same memory shape as iemocap: remat to fit batch 64
+            scan_layers=True, remat=True,
         ),
         data=DataConfig(task="cmu-mosei", task_type="multilabel",
                         audio_raw_len=512, video_len=512),

@@ -83,7 +83,14 @@ def fused_projection(x: jax.Array, kernels, biases, dtype) -> jax.Array:
     Bit-identical to applying each projection separately (each output column
     of a matmul is computed independently), so parity oracles are unaffected.
     """
+    from jax.sharding import PartitionSpec as P
+    from bpx.parallel.sharding import constrain
     w = jnp.concatenate([k.astype(dtype) for k in kernels], axis=1)
+    # pin the concatenated view to the column-parallel layout of its parts —
+    # without this, GSPMD invents a conflicting layout for the transposed
+    # weight view in the backward pass (involuntary full rematerialization
+    # on every attention's dW transpose)
+    w = constrain(w, P(None, ("fsdp", "tensor")))
     y = jnp.dot(x.astype(dtype), w)
     if biases[0] is not None:
         y = y + jnp.concatenate([b.astype(dtype) for b in biases])

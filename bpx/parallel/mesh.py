@@ -34,6 +34,24 @@ def initialize_distributed(coordinator: Optional[str] = None,
                                    process_id=process_id)
 
 
+def mesh_scoped(fn, mesh: Optional[Mesh]):
+    """Wrap a (jitted) callable so every call — including the tracing call —
+    runs under ``jax.sharding.set_mesh(mesh)``.
+
+    The ambient mesh is what lets :func:`bpx.parallel.sharding.constrain`
+    pin activation/weight-view shardings inside the model; ``set_mesh`` is
+    only legal outside ``jax.jit``, so the scope wraps the call boundary.
+    No-op when ``mesh`` is None (single device).
+    """
+    if mesh is None:
+        return fn
+
+    def wrapped(*args, **kwargs):
+        with jax.sharding.set_mesh(mesh):
+            return fn(*args, **kwargs)
+    return wrapped
+
+
 def make_mesh(config: MeshConfig = MeshConfig(),
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """Build the (data, fsdp, tensor) mesh; data=-1 absorbs the remainder."""

@@ -5,25 +5,30 @@ Megatron-style tensor parallelism over the ``tensor`` axis, optional FSDP over
 
 * "column-parallel" kernels (q/k/v projections, fc1/intermediate, GMU gate and
   hidden projections) shard their *output* features on the merged
-  ``(tensor, fsdp)`` group — the following contraction is local;
+  ``(fsdp, tensor)`` group — the following contraction is local;
 * "row-parallel" kernels (attention out_proj, fc2/output) shard their *input*
-  features on ``(tensor, fsdp)`` — XLA inserts the psum at the block
-  boundary.
-
-Both rules place the model-parallel axes on the SAME (Megatron-inner) dim as
-a merged group: per-device storage is 1/(tensor*fsdp), like the previous
-split ``P("fsdp", "tensor")`` / ``P("tensor", "fsdp")`` layout, but the
-weight dims never carry ``fsdp`` *alone opposite* the batch's
-``(data, fsdp)`` sharding.  That opposite-dim layout did not just produce
-"involuntary full rematerialization" warnings — it MISCOMPILED on XLA:CPU
-(jax 0.9.0, GSPMD and Shardy alike): a Dense whose input and weights were
-bit-identical to the replicated run returned values off by O(1) in forward
-(row-parallel case), and column-parallel ``P("fsdp", tensor")`` corrupted
-backward gradients by ~0.3 at grad magnitude 0.44.  Caught by
-test_distributed.py::test_fsdp_tp_matches_single_device; verified leaf-wise
-against host recomputation.
+  features on ``(fsdp, tensor)`` — XLA inserts the psum at the block
+  boundary;
 * embeddings shard the vocab axis on ``fsdp``;
 * everything 1-D (biases, LayerNorms) replicates.
+
+Both matmul rules place the model-parallel axes on the SAME (Megatron-inner)
+dim as a merged group: per-device storage is 1/(fsdp*tensor), like the
+earlier split layout (column ``P("fsdp", "tensor")`` / row
+``P("tensor", "fsdp")``), but the weight dims never carry ``fsdp`` *alone
+opposite* the batch's ``(data, fsdp)`` sharding.  That opposite-dim layout
+did not just produce "involuntary full rematerialization" warnings — it
+MISCOMPILED on XLA:CPU (jax 0.9.0, GSPMD and Shardy alike): a Dense whose
+input and weights were bit-identical to the replicated run returned values
+off by O(1) in forward (the row-parallel case), and column-parallel
+``P("fsdp", "tensor")`` corrupted backward gradients by ~0.3 at grad
+magnitude 0.44.  Caught by
+test_distributed.py::test_fsdp_tp_matches_single_device; verified leaf-wise
+against host recomputation.  The group is written in mesh-major order
+``("fsdp", "tensor")`` deliberately: the reversed order is numerically
+identical but canonicalizes to a device permutation XLA cannot reconcile
+with the batch sharding, re-introducing a full-remat warning at every
+param use inside the grad-accumulation loop.
 
 With ``fsdp=1, tensor=1`` this degrades to pure data parallelism — the exact
 TPU equivalent of the reference's ``nn.DataParallel`` (ref: train.py:354-356),
@@ -57,12 +62,18 @@ def _spec_for(path: Tuple[str, ...], leaf) -> P:
         return P("fsdp", None)
     if last == "kernel" and ndim == 2:
         if any(key in parent for key in _COLUMN_PARALLEL):
-            return P(None, ("tensor", "fsdp"))
+            return P(None, ("fsdp", "tensor"))
         if any(key in parent for key in _ROW_PARALLEL):
-            return P(("tensor", "fsdp"), None)
+            return P(("fsdp", "tensor"), None)
         return P("fsdp", None)
-    if last == "kernel" and ndim == 3:     # conv (K, Cin, Cout)
-        return P(None, None, "tensor")
+    if last == "kernel" and ndim == 3:
+        # scanned stacks carry a leading depth axis: (L, in, out) kernels
+        # keep the 2-D column/row rule shifted right by one
+        if any(key in parent for key in _COLUMN_PARALLEL):
+            return P(None, None, ("fsdp", "tensor"))
+        if any(key in parent for key in _ROW_PARALLEL):
+            return P(None, ("fsdp", "tensor"), None)
+        return P(None, None, "tensor")     # conv (K, Cin, Cout)
     return P(*([None] * ndim))
 
 
@@ -91,6 +102,25 @@ def param_shardings(params: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map_with_path(make, params)
 
 
+def constrain_like_params(tree: Any) -> Any:
+    """Pin a param-shaped pytree (e.g. the grad-accumulation scan carry) to
+    the same shardings the params use, resolved against the ambient mesh.
+
+    Without this, XLA derives its own (permutation-inequivalent) sharding
+    for the scan-carried gradient accumulators and inserts a full
+    rematerialization per scan iteration to reconcile it with the param
+    layout.  Identity when no (data, fsdp, tensor) mesh context is active.
+    """
+    am = jax.sharding.get_abstract_mesh()
+    if not am.axis_names or not {"data", "fsdp", "tensor"} <= set(am.axis_names):
+        return tree
+
+    def pin(path, leaf):
+        spec = _fit_spec_to_mesh(_spec_for(path, leaf), leaf.shape, am)
+        return jax.lax.with_sharding_constraint(leaf, spec)
+    return jax.tree_util.tree_map_with_path(pin, tree)
+
+
 def batch_sharding(mesh: Mesh, batch_axis: int = 0) -> NamedSharding:
     """Shard the batch axis over data (and fsdp, which also carries batch)."""
     spec = [None] * (batch_axis + 1)
@@ -105,6 +135,21 @@ def batch_shardings(batch: Any, mesh: Mesh, batch_axis: int = 0) -> Any:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def constrain(x, spec: P):
+    """``with_sharding_constraint`` when a (data, fsdp, tensor) mesh context
+    is active (``jax.sharding.set_mesh``); identity otherwise.
+
+    Model code calls this to pin activation/weight-view shardings at fusion
+    boundaries so GSPMD propagation doesn't invent conflicting layouts (the
+    "involuntary full rematerialization" warnings).  Single-device runs and
+    tests without a mesh context trace straight through.
+    """
+    am = jax.sharding.get_abstract_mesh()
+    if not am.axis_names or not {"data", "fsdp", "tensor"} <= set(am.axis_names):
+        return x
+    return jax.lax.with_sharding_constraint(x, spec)
 
 
 def shard_params(params: Any, mesh: Mesh) -> Any:

@@ -31,7 +31,7 @@ from bpx.config import ExperimentConfig
 from bpx.data.loaders import get_data_loaders
 from bpx.models import get_model
 from bpx.ops.bert import maybe_load_pretrained
-from bpx.parallel.mesh import make_mesh
+from bpx.parallel.mesh import make_mesh, mesh_scoped
 from bpx.train.losses import make_loss_fn
 from bpx.train.metrics import compute_metrics, log_metrics, tuning_metric
 from bpx.train.optim import (EarlyStopping, PlateauScheduler, get_current_lr,
@@ -155,10 +155,11 @@ def train(exp: ExperimentConfig, data_all=None,
         logger.info("mesh: %s", mesh)
 
     accum = max(1, tcfg.gradient_accumulation_steps)
-    train_step = jax.jit(make_train_step(
+    train_step = mesh_scoped(jax.jit(make_train_step(
         model, mcfg.model, loss_fn, tx, grad_accum=accum,
-        freeze_bert=mcfg.freeze_bert), donate_argnums=(0,))
-    eval_step = jax.jit(make_eval_step(model, mcfg.model, loss_fn))
+        freeze_bert=mcfg.freeze_bert), donate_argnums=(0,)), mesh)
+    eval_step = mesh_scoped(
+        jax.jit(make_eval_step(model, mcfg.model, loss_fn)), mesh)
 
     mode = "min" if dcfg.task == "cmu-mosi" else "max"
     plateau = PlateauScheduler(lr=tcfg.lr, mode=mode, factor=tcfg.lr_factor,
@@ -281,8 +282,9 @@ def test(exp: ExperimentConfig, data_all=None,
     if mesh is not None:
         state = place_state(state, mesh)
 
-    eval_step = jax.jit(make_eval_step(model, mcfg.model, loss_fn,
-                                       output_gates=tcfg.output_gates))
+    eval_step = mesh_scoped(
+        jax.jit(make_eval_step(model, mcfg.model, loss_fn,
+                               output_gates=tcfg.output_gates)), mesh)
     metrics, logits, targets, gates = evaluate(
         eval_step, state.params, test_loader, dcfg.task, dcfg.task_type,
         mesh, collect_gates=tcfg.output_gates, loss_fn=loss_fn)

@@ -103,15 +103,21 @@ def make_train_step(model, model_name: str, loss_fn: Callable,
             micro = jax.tree.map(lambda x: x[0], batch)
             loss, grads = grad_fn(state.params, micro, keys[0])
         else:
+            from bpx.parallel.sharding import constrain_like_params
+
             def body(carry, inp):
                 grads_acc, loss_acc = carry
                 micro, key = inp
                 loss, grads = grad_fn(state.params, micro, key)
                 grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                # keep the scan-carried accumulators on the param layout —
+                # XLA otherwise derives a permutation-inequivalent sharding
+                # and full-rematerializes every carry element per iteration
+                grads_acc = constrain_like_params(grads_acc)
                 return (grads_acc, loss_acc + loss), None
 
-            zero_grads = jax.tree.map(
-                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            zero_grads = constrain_like_params(jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params))
             (grads, loss_sum), _ = jax.lax.scan(
                 body, (zero_grads, jnp.zeros((), jnp.float32)),
                 (batch, keys))

@@ -36,9 +36,9 @@ def test_sharding_rules():
             self.key = key
     leaf2 = np.zeros((4, 8))
     assert _spec_for((FakeKey("fc1"), FakeKey("kernel")), leaf2) == \
-        P(None, ("tensor", "fsdp"))
+        P(None, ("fsdp", "tensor"))
     assert _spec_for((FakeKey("out_proj"), FakeKey("kernel")), leaf2) == \
-        P(("tensor", "fsdp"), None)
+        P(("fsdp", "tensor"), None)
     assert _spec_for((FakeKey("ln0"), FakeKey("scale")), np.zeros((8,))) == P()
     assert _spec_for((FakeKey("word_embeddings"), FakeKey("embedding")),
                      leaf2) == P("fsdp", None)
@@ -249,5 +249,5 @@ def test_spec_fitting_to_mesh():
     sh = param_shardings(params, mesh)
     assert sh["token_type_embeddings"]["embedding"].spec == P(None, None)
     assert sh["word_embeddings"]["embedding"].spec == P("fsdp", None)
-    assert sh["fc1"]["kernel"].spec == P(None, ("tensor", "fsdp"))
+    assert sh["fc1"]["kernel"].spec == P(None, ("fsdp", "tensor"))
     assert sh["odd"]["kernel"].spec == P(None, None)
