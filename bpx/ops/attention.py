@@ -97,6 +97,47 @@ def fused_projection(x: jax.Array, kernels, biases, dtype) -> jax.Array:
     return y
 
 
+def use_bhtd_layout() -> bool:
+    """Head-major q/k/v production for the flash path: the projection einsum
+    emits (B, H, T, D) directly, so the kernel wrapper's (B*H, T, D) view is
+    a free reshape instead of an HBM transpose (fwd q/k/v + bwd dq/dk/dv).
+    Opt-out knob: BPX_QKV_BHTD=0."""
+    import os
+    return os.environ.get("BPX_QKV_BHTD", "1") != "0"
+
+
+def use_out_bhtd() -> bool:
+    """Head-major attention OUTPUT: the kernel returns (B, H, Tq, D) and
+    out_proj contracts over (h, d) directly, removing the context's HBM
+    transpose (and its dO mirror in backward).  Probe knob, default off:
+    BPX_OUT_BHTD=1."""
+    import os
+    return os.environ.get("BPX_OUT_BHTD", "0") == "1"
+
+
+def fused_projection_bhtd(x: jax.Array, kernels, biases, dtype,
+                          num_heads: int):
+    """One GEMM for several projections, emitting head-major outputs.
+
+    ``x (B, T, E) @ stacked (E, S, H, D) -> (S, B, H, T, D)`` — same
+    contraction (and numerics) as :func:`fused_projection` followed by
+    reshape+transpose, but the head-major layout comes out of the GEMM,
+    so no separate HBM transpose pass exists for XLA to schedule.
+    Returns a tuple of S arrays shaped (B, H, T, D).
+    """
+    E = kernels[0].shape[0]
+    S = len(kernels)
+    head_dim = kernels[0].shape[1] // num_heads
+    w = jnp.stack([k.astype(dtype).reshape(E, num_heads, head_dim)
+                   for k in kernels], axis=1)          # (E, S, H, D)
+    y = jnp.einsum("bte,eshd->sbhtd", x.astype(dtype), w)
+    if biases[0] is not None:
+        b = jnp.stack([bb.astype(dtype).reshape(num_heads, head_dim)
+                       for bb in biases])              # (S, H, D)
+        y = y + b[:, None, :, None, :]
+    return tuple(y[i] for i in range(S))
+
+
 class MultiheadAttention(nn.Module):
     """Multi-head attention over batch-first streams.
 
@@ -124,10 +165,11 @@ class MultiheadAttention(nn.Module):
         self.q_proj = proj("q_proj")
         self.k_proj = proj("k_proj")
         self.v_proj = proj("v_proj")
-        self.out_proj = nn.Dense(
-            self.embed_dim, use_bias=self.use_bias, dtype=self.dtype,
-            kernel_init=nn.initializers.xavier_uniform(),
-            bias_init=nn.initializers.zeros, name="out_proj")
+        # DenseParams (not nn.Dense) so the head-major path can contract the
+        # kernel over (h, d) directly; the param tree is identical.
+        self.out_proj = DenseParams(
+            self.embed_dim, self.embed_dim, use_bias=self.use_bias,
+            kernel_init=nn.initializers.xavier_uniform(), name="out_proj")
 
     def __call__(self, query: jax.Array,
                  key: Optional[jax.Array] = None,
@@ -143,42 +185,73 @@ class MultiheadAttention(nn.Module):
         wq, bq = self.q_proj()
         wk, bk = self.k_proj()
         wv, bv = self.v_proj()
+        bhtd = self.impl == "pallas" and use_bhtd_layout()
+        proj = fused_projection_bhtd if bhtd else fused_projection
+        pk = ((lambda x, ws, bs: proj(x, ws, bs, self.dtype, self.num_heads))
+              if bhtd else
+              (lambda x, ws, bs: proj(x, ws, bs, self.dtype)))
         # Fuse aliased projections into one GEMM (self-attn: q=k=v source;
         # cross-attn with a single kv stream: k=v source).
         if key is query and value is query:
-            qkv = fused_projection(query, (wq, wk, wv), (bq, bk, bv),
-                                   self.dtype)
-            q, k, v = qkv[..., :E], qkv[..., E:2 * E], qkv[..., 2 * E:]
+            if bhtd:
+                q, k, v = pk(query, (wq, wk, wv), (bq, bk, bv))
+            else:
+                qkv = pk(query, (wq, wk, wv), (bq, bk, bv))
+                q, k, v = qkv[..., :E], qkv[..., E:2 * E], qkv[..., 2 * E:]
         elif value is key:
-            q = fused_projection(query, (wq,), (bq,), self.dtype)
-            kv = fused_projection(key, (wk, wv), (bk, bv), self.dtype)
-            k, v = kv[..., :E], kv[..., E:]
+            if bhtd:
+                (q,) = pk(query, (wq,), (bq,))
+                k, v = pk(key, (wk, wv), (bk, bv))
+            else:
+                q = pk(query, (wq,), (bq,))
+                kv = pk(key, (wk, wv), (bk, bv))
+                k, v = kv[..., :E], kv[..., E:]
         else:
-            q = fused_projection(query, (wq,), (bq,), self.dtype)
-            k = fused_projection(key, (wk,), (bk,), self.dtype)
-            v = fused_projection(value, (wv,), (bv,), self.dtype)
+            if bhtd:
+                (q,) = pk(query, (wq,), (bq,))
+                (k,) = pk(key, (wk,), (bk,))
+                (v,) = pk(value, (wv,), (bv,))
+            else:
+                q = pk(query, (wq,), (bq,))
+                k = pk(key, (wk,), (bk,))
+                v = pk(value, (wv,), (bv,))
         q = q * jnp.asarray(self.scaling, self.dtype)
-        q = q.reshape(B, Tq, self.num_heads, self.head_dim)
-        k = k.reshape(B, Tk, self.num_heads, self.head_dim)
-        v = v.reshape(B, Tk, self.num_heads, self.head_dim)
+        if not bhtd:
+            q = q.reshape(B, Tq, self.num_heads, self.head_dim)
+            k = k.reshape(B, Tk, self.num_heads, self.head_dim)
+            v = v.reshape(B, Tk, self.num_heads, self.head_dim)
 
         dropout_rng = None
         if self.attn_dropout > 0.0 and not deterministic:
             dropout_rng = self.make_rng("dropout")
 
+        out_bhtd = self.impl == "pallas" and use_out_bhtd()
         if self.impl == "pallas":
             from bpx.ops.flash_attention import flash_attention_maybe
             out = flash_attention_maybe(
                 q, k, v, mask=mask,
                 dropout_rate=self.attn_dropout, dropout_rng=dropout_rng,
-                deterministic=deterministic)
+                deterministic=deterministic,
+                layout="bhtd" if bhtd else "bthd",
+                out_layout="bhtd" if out_bhtd else "bthd")
         else:
             out = dot_product_attention(
                 q, k, v, bias=mask,
                 dropout_rate=self.attn_dropout, dropout_rng=dropout_rng,
                 deterministic=deterministic)
-        out = out.reshape(B, Tq, self.embed_dim)
-        return self.out_proj(out)
+        wo, bo = self.out_proj()
+        if out_bhtd:
+            # contract (h, d) straight out of the head-major context —
+            # same contraction as reshape+matmul, no transpose pass
+            y = jnp.einsum(
+                "bhtd,hde->bte", out,
+                wo.astype(self.dtype).reshape(self.num_heads, self.head_dim,
+                                              self.embed_dim))
+        else:
+            y = out.reshape(B, Tq, self.embed_dim) @ wo.astype(self.dtype)
+        if bo is not None:
+            y = y + bo.astype(self.dtype)
+        return y
 
 
 def load_packed_qkv(in_proj_weight, in_proj_bias, out_weight, out_bias,

@@ -27,6 +27,7 @@ import flax.linen as nn
 
 from bpx.config import BertConfig
 from bpx.ops.masks import key_padding_bias
+from bpx.ops.norm import LayerNorm
 
 
 class BertSelfAttention(nn.Module):
@@ -36,7 +37,9 @@ class BertSelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, bias, kv_lens=None, deterministic=True):
-        from bpx.ops.attention import DenseParams, fused_projection
+        from bpx.ops.attention import (DenseParams, fused_projection,
+                                       fused_projection_bhtd,
+                                       use_bhtd_layout)
 
         cfg = self.config
         head_dim = cfg.hidden_size // cfg.num_heads
@@ -48,12 +51,20 @@ class BertSelfAttention(nn.Module):
         wq, bq = proj("query")()
         wk, bk = proj("key")()
         wv, bv = proj("value")()
-        qkv = fused_projection(hidden, (wq, wk, wv), (bq, bk, bv), self.dtype)
-        q = qkv[..., :E].reshape(B, T, cfg.num_heads, head_dim)
-        k = qkv[..., E:2 * E].reshape(B, T, cfg.num_heads, head_dim)
-        v = qkv[..., 2 * E:].reshape(B, T, cfg.num_heads, head_dim)
+        flash = self.attention_impl == "pallas" and kv_lens is not None
+        bhtd = flash and use_bhtd_layout()
+        if bhtd:
+            q, k, v = fused_projection_bhtd(
+                hidden, (wq, wk, wv), (bq, bk, bv), self.dtype,
+                cfg.num_heads)
+        else:
+            qkv = fused_projection(hidden, (wq, wk, wv), (bq, bk, bv),
+                                   self.dtype)
+            q = qkv[..., :E].reshape(B, T, cfg.num_heads, head_dim)
+            k = qkv[..., E:2 * E].reshape(B, T, cfg.num_heads, head_dim)
+            v = qkv[..., 2 * E:].reshape(B, T, cfg.num_heads, head_dim)
 
-        if self.attention_impl == "pallas" and kv_lens is not None:
+        if flash:
             # Flash path: key padding from per-sample lengths (collate
             # guarantees a contiguous suffix), dropout fused in-kernel.
             from bpx.ops.flash_attention import flash_attention_maybe
@@ -64,7 +75,8 @@ class BertSelfAttention(nn.Module):
             ctx = flash_attention_maybe(
                 q, k, v, mask=None, kv_lens=kv_lens,
                 dropout_rate=cfg.attention_dropout, dropout_rng=rng,
-                deterministic=deterministic)
+                deterministic=deterministic,
+                layout="bhtd" if bhtd else "bthd")
             return ctx.reshape(B, T, cfg.hidden_size)
 
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
@@ -105,14 +117,19 @@ class BertLayer(nn.Module):
             hidden, bias, kv_lens, deterministic)
         attn_out = nn.Dense(cfg.hidden_size, dtype=self.dtype,
                             name="attention_output")(attn_out)
-        hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+        hidden = LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                               name="attention_norm")(hidden + dropout(attn_out))
 
         inter = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
                          name="intermediate")(hidden)
-        inter = jax.nn.gelu(inter, approximate=False)
+        # erf-GELU matches HF numerics; the tanh form is a perf probe for
+        # the fc1+GELU fusion's transcendental epilogue (BPX_TANH_GELU=1,
+        # documented divergence — see PERF.md)
+        import os
+        inter = jax.nn.gelu(
+            inter, approximate=os.environ.get("BPX_TANH_GELU", "") == "1")
         out = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output")(inter)
-        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+        return LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                             name="output_norm")(hidden + dropout(out))
 
 
@@ -158,7 +175,7 @@ class BertEncoder(nn.Module):
             hidden = hidden + nn.Embed(
                 cfg.type_vocab_size, cfg.hidden_size, dtype=self.dtype,
                 name="token_type_embeddings")(token_type_ids)
-        hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+        hidden = LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                               name="embeddings_norm")(hidden)
         if cfg.hidden_dropout > 0 and not deterministic:
             from bpx.ops.dropout import hash_dropout

@@ -36,6 +36,7 @@ import flax.linen as nn
 
 from bpx.ops.attention import MultiheadAttention
 from bpx.ops.masks import offset_future_mask
+from bpx.ops.norm import LayerNorm
 from bpx.ops.positions import positional_embedding
 
 
@@ -71,7 +72,7 @@ class TransformerEncoderLayer(nn.Module):
             attn_dropout=self.attn_dropout, dtype=self.dtype,
             impl=self.attention_impl, name="attn")
         n_norms = 3 if self.biprojection else 2
-        self.norms = [nn.LayerNorm(dtype=self.dtype, name=f"ln{i}")
+        self.norms = [LayerNorm(dtype=self.dtype, name=f"ln{i}")
                       for i in range(n_norms)]
         dense = lambda feat, name: nn.Dense(
             feat, dtype=self.dtype,
@@ -208,7 +209,7 @@ class TransformerEncoder(nn.Module):
                                      policy=policy)
             self.blocks = [layer_cls(**layer_kw, name=f"layer{i}")
                            for i in range(self.layers)]
-        self.final_norm = nn.LayerNorm(dtype=self.dtype, name="final_norm")
+        self.final_norm = LayerNorm(dtype=self.dtype, name="final_norm")
 
     def _dropout(self, x, rate, deterministic):
         if rate <= 0.0 or deterministic:

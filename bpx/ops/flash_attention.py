@@ -41,14 +41,18 @@ def flash_attention_maybe(q: jax.Array, k: jax.Array, v: jax.Array,
                           kv_lens: Optional[jax.Array] = None,
                           dropout_rate: float = 0.0,
                           dropout_rng: Optional[jax.Array] = None,
-                          deterministic: bool = True) -> jax.Array:
+                          deterministic: bool = True,
+                          layout: str = "bthd",
+                          out_layout: str = "bthd") -> jax.Array:
     """(B, T, H, D) attention; q pre-scaled.  Pallas on TPU backends.
 
     ``mask`` is the additive offset-band bias from
     :func:`bpx.ops.masks.offset_future_mask` (its presence selects the
     analytic band in the kernel); ``kv_lens`` (B,) int32 masks per-sample
     right-padding.  The einsum fallback converts ``kv_lens`` to an additive
-    bias.
+    bias.  ``layout="bhtd"`` means inputs arrive head-major (B, H, T, D) —
+    see :func:`bpx.ops.pallas_attention.flash_attention`; the output is
+    (B, Tq, H, D) either way.
     """
     from bpx.ops.attention import dot_product_attention
 
@@ -58,7 +62,11 @@ def flash_attention_maybe(q: jax.Array, k: jax.Array, v: jax.Array,
         seed = derive_seed(dropout_rng) if rate > 0.0 else None
         return flash_attention(q, k, v, masked=mask is not None,
                                kv_lens=kv_lens, dropout_rate=rate,
-                               dropout_seed=seed)
+                               dropout_seed=seed, layout=layout,
+                               out_layout=out_layout)
+
+    if layout == "bhtd":
+        q, k, v = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
 
     bias = mask
     if kv_lens is not None:
@@ -67,7 +75,10 @@ def flash_attention_maybe(q: jax.Array, k: jax.Array, v: jax.Array,
                         0.0, -1e30).astype(jnp.float32)
         pad = pad[:, None, None, :]                      # (B, 1, 1, Tk)
         bias = pad if bias is None else bias + pad
-    return dot_product_attention(q, k, v, bias=bias,
-                                 dropout_rate=dropout_rate,
-                                 dropout_rng=dropout_rng,
-                                 deterministic=deterministic)
+    out = dot_product_attention(q, k, v, bias=bias,
+                                dropout_rate=dropout_rate,
+                                dropout_rng=dropout_rng,
+                                deterministic=deterministic)
+    if out_layout == "bhtd":
+        out = jnp.swapaxes(out, 1, 2)
+    return out

@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from bpx.ops.norm import LayerNorm
+
 
 class MAG(nn.Module):
     hidden_size: int
@@ -43,7 +45,7 @@ class MAG(nn.Module):
         hm_norm = jnp.where(hm_norm == 0, 1.0, hm_norm)
         alpha = jnp.minimum(em_norm / (hm_norm + eps) * self.beta_shift, 1.0)
         fused = alpha[..., None] * h_m + text_embedding
-        out = nn.LayerNorm(dtype=self.dtype, name="norm")(fused)
+        out = LayerNorm(dtype=self.dtype, name="norm")(fused)
         if self.dropout_prob > 0 and not deterministic:
             from bpx.ops.dropout import hash_dropout
             out = hash_dropout(out, self.dropout_prob,

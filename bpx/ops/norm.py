@@ -1,0 +1,194 @@
+"""Pallas LayerNorm for TPU.
+
+Motivation (device trace, moviescope bench step, PERF.md round 3): XLA
+lowers each (B, T, E) LayerNorm into `convert_reduce_fusion` /
+`multiply_reduce_fusion` groups that measured ~0.9-3.0 ms per instance —
+7-23x above the HBM floor for a 50 MB tensor — totalling ~188 ms of the
+~1010 ms step.  This kernel reads the bf16 input once, computes the fp32
+row statistics in VMEM, and writes the normalized output once: memory-bound
+by construction.
+
+Semantics match ``flax.linen.LayerNorm`` (ref model uses torch
+``nn.LayerNorm``, transformer.py:187-202 / HF BERT): fp32 statistics over
+the last axis, learned (E,) scale/bias, y cast back to the input dtype.
+
+``LayerNorm`` below is a drop-in module with the same param tree
+(``scale``, ``bias``) as ``nn.LayerNorm``; it routes to the kernel on TPU
+backends for well-tiled shapes and to the XLA formula elsewhere.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BLK = 256          # rows per program
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _use_pallas_ln() -> bool:
+    import os
+    flag = os.environ.get("BPX_PALLAS_LN", "1")
+    if flag == "0":
+        return False
+    if os.environ.get("BPX_FORCE_PALLAS", "") == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+def _ln_fwd_kernel(x_ref, s_ref, b_ref, y_ref, mu_ref, rs_ref, *, eps: float):
+    x = x_ref[...].astype(jnp.float32)                  # (BLK, E)
+    e = x.shape[1]
+    mu = jnp.mean(x, axis=1)
+    xc = x - mu[:, None]
+    var = jnp.sum(xc * xc, axis=1) / e
+    rstd = jax.lax.rsqrt(var + eps)
+    y = xc * rstd[:, None] * s_ref[...].astype(jnp.float32) \
+        + b_ref[...].astype(jnp.float32)
+    y_ref[...] = y.astype(y_ref.dtype)
+    mu_ref[...] = mu[None, :]
+    rs_ref[...] = rstd[None, :]
+
+
+def _ln_bwd_kernel(x_ref, s_ref, mu_ref, rs_ref, dy_ref,
+                   dx_ref, ds_ref, db_ref):
+    x = x_ref[...].astype(jnp.float32)
+    dy = dy_ref[...].astype(jnp.float32)
+    e = x.shape[1]
+    mu = mu_ref[0]
+    rstd = rs_ref[0]
+    xhat = (x - mu[:, None]) * rstd[:, None]
+    a = dy * s_ref[...].astype(jnp.float32)
+    m1 = jnp.mean(a, axis=1)
+    m2 = jnp.mean(a * xhat, axis=1)
+    dx = rstd[:, None] * (a - m1[:, None] - xhat * m2[:, None])
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+    # per-tile partial param grads; XLA sums the (n_tiles, E) outputs
+    ds_ref[...] = jnp.sum(dy * xhat, axis=0)[None, :]
+    db_ref[...] = jnp.sum(dy, axis=0)[None, :]
+
+
+def _pick_blk(n: int) -> int:
+    """Largest row-tile <= _BLK dividing n with sublane alignment."""
+    for blk in (_BLK, 128, 64, 32, 16, 8):
+        if n % blk == 0:
+            return blk
+    return 0
+
+
+def _ln_fwd(x2, scale, bias, eps: float):
+    n, e = x2.shape
+    blk = _pick_blk(n)
+    y, mu, rstd = pl.pallas_call(
+        functools.partial(_ln_fwd_kernel, eps=eps),
+        grid=(n // blk,),
+        in_specs=[
+            pl.BlockSpec((blk, e), lambda i: (i, 0)),
+            pl.BlockSpec((1, e), lambda i: (0, 0)),
+            pl.BlockSpec((1, e), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((blk, e), lambda i: (i, 0)),
+            pl.BlockSpec((1, blk), lambda i: (0, i)),
+            pl.BlockSpec((1, blk), lambda i: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, e), x2.dtype),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ],
+        interpret=_interpret())(x2, scale[None, :], bias[None, :])
+    return y, mu, rstd
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _layer_norm(x2, scale, bias, eps: float):
+    y, _, _ = _ln_fwd(x2, scale, bias, eps)
+    return y
+
+
+def _layer_norm_fwd(x2, scale, bias, eps):
+    y, mu, rstd = _ln_fwd(x2, scale, bias, eps)
+    return y, (x2, scale, mu, rstd)
+
+
+def _layer_norm_bwd(eps, res, dy):
+    x2, scale, mu, rstd = res
+    n, e = x2.shape
+    blk = _pick_blk(n)
+    dx, ds_p, db_p = pl.pallas_call(
+        _ln_bwd_kernel,
+        grid=(n // blk,),
+        in_specs=[
+            pl.BlockSpec((blk, e), lambda i: (i, 0)),
+            pl.BlockSpec((1, e), lambda i: (0, 0)),
+            pl.BlockSpec((1, blk), lambda i: (0, i)),
+            pl.BlockSpec((1, blk), lambda i: (0, i)),
+            pl.BlockSpec((blk, e), lambda i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((blk, e), lambda i: (i, 0)),
+            pl.BlockSpec((1, e), lambda i: (i, 0)),
+            pl.BlockSpec((1, e), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, e), x2.dtype),
+            jax.ShapeDtypeStruct((n // blk, e), jnp.float32),
+            jax.ShapeDtypeStruct((n // blk, e), jnp.float32),
+        ],
+        interpret=_interpret())(x2, scale[None, :], mu, rstd, dy)
+    return dx, jnp.sum(ds_p, axis=0), jnp.sum(db_p, axis=0)
+
+
+_layer_norm.defvjp(_layer_norm_fwd, _layer_norm_bwd)
+
+
+def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
+               eps: float = 1e-5) -> jax.Array:
+    """LayerNorm over the last axis; fp32 stats, output in x.dtype.
+
+    Pallas kernel on TPU for row-tileable shapes; XLA formula otherwise
+    (identical math — fp32 mean/var with 1/E normalisation, rsqrt).
+    """
+    e = x.shape[-1]
+    n = 1
+    for d in x.shape[:-1]:
+        n *= d
+    if _use_pallas_ln() and n >= 8 and _pick_blk(n):
+        y = _layer_norm(x.reshape(n, e), scale.astype(jnp.float32),
+                        bias.astype(jnp.float32), float(eps))
+        return y.reshape(x.shape)
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    y = xc * jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32) \
+        + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+class LayerNorm(nn.Module):
+    """Drop-in for ``nn.LayerNorm`` (same ``scale``/``bias`` param tree)
+    routing through :func:`layer_norm`."""
+
+    epsilon: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        e = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (e,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (e,), jnp.float32)
+        return layer_norm(x, scale, bias, self.epsilon)

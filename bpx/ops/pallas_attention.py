@@ -582,7 +582,9 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     masked: bool = True,
                     kv_lens: Optional[jax.Array] = None,
                     dropout_rate: float = 0.0,
-                    dropout_seed: Optional[jax.Array] = None) -> jax.Array:
+                    dropout_seed: Optional[jax.Array] = None,
+                    layout: str = "bthd",
+                    out_layout: str = "bthd") -> jax.Array:
     """(B, Tq, H, D) x (B, Tk, H, D) -> (B, Tq, H, D); q pre-scaled.
 
     ``masked=True`` applies the offset band ``col <= row + |Tk - Tq|``
@@ -590,9 +592,21 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     ``kv_lens`` (B,) int32 masks per-sample right-padding (keys at
     ``col >= kv_lens[b]``).  ``dropout_rate`` > 0 applies fused dropout on
     the attention probabilities seeded by ``dropout_seed`` (scalar uint32).
+
+    ``layout="bhtd"`` accepts inputs already head-major (B, H, T, D): the
+    kernel-facing (B*H, T, D) reshape is then free, removing the HBM
+    transpose this wrapper otherwise pays — and, through the custom_vjp,
+    the mirrored dq/dk/dv transposes in backward.  ``out_layout="bhtd"``
+    likewise returns the context head-major (B, H, Tq, D), removing the
+    output transpose (and its dO mirror in backward) when the consumer can
+    contract over (h, d) directly.
     """
-    B, Tq, H, D = q.shape
-    Tk = k.shape[1]
+    if layout == "bhtd":
+        B, H, Tq, D = q.shape
+        Tk = k.shape[2]
+    else:
+        B, Tq, H, D = q.shape
+        Tk = k.shape[1]
     offset = abs(Tk - Tq)
     # The band col <= row + offset is vacuous when offset >= Tk-1 (every
     # key column is visible to every query row, e.g. Tq=512/Tk=200 ->
@@ -610,7 +624,10 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     full_kv = kv_lens is None and Tk == tk_p
 
     def prep(x, t_p):
-        x = jnp.swapaxes(x, 1, 2).reshape(B * H, x.shape[1], D)
+        if layout == "bhtd":
+            x = x.reshape(B * H, x.shape[2], D)      # free: already head-major
+        else:
+            x = jnp.swapaxes(x, 1, 2).reshape(B * H, x.shape[1], D)
         if t_p != x.shape[1]:
             x = jnp.pad(x, ((0, 0), (0, t_p - x.shape[1]), (0, 0)))
         return x
@@ -631,4 +648,6 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     if tq_p != Tq:
         out = out[:, :Tq]
     out = out.reshape(B, H, Tq, D)
+    if out_layout == "bhtd":
+        return out
     return jnp.swapaxes(out, 1, 2)
