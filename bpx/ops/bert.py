@@ -67,16 +67,21 @@ class BertSelfAttention(nn.Module):
         if flash:
             # Flash path: key padding from per-sample lengths (collate
             # guarantees a contiguous suffix), dropout fused in-kernel.
+            from bpx.ops.attention import use_out_bhtd
             from bpx.ops.flash_attention import flash_attention_maybe
             rng = None
             if cfg.attention_dropout > 0 and not deterministic:
                 rng = self.make_rng("dropout")
             q = q * jnp.asarray(head_dim ** -0.5, self.dtype)
+            out_bhtd = use_out_bhtd()
             ctx = flash_attention_maybe(
                 q, k, v, mask=None, kv_lens=kv_lens,
                 dropout_rate=cfg.attention_dropout, dropout_rng=rng,
                 deterministic=deterministic,
-                layout="bhtd" if bhtd else "bthd")
+                layout="bhtd" if bhtd else "bthd",
+                out_layout="bhtd" if out_bhtd else "bthd")
+            if out_bhtd:
+                return ctx          # (B, H, T, D); BertLayer contracts (h, d)
             return ctx.reshape(B, T, cfg.hidden_size)
 
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
@@ -115,8 +120,19 @@ class BertLayer(nn.Module):
         attn_out = BertSelfAttention(cfg, self.dtype, self.attention_impl,
                                      name="attention")(
             hidden, bias, kv_lens, deterministic)
-        attn_out = nn.Dense(cfg.hidden_size, dtype=self.dtype,
-                            name="attention_output")(attn_out)
+        # DenseParams keeps nn.Dense's param tree while letting the
+        # head-major path contract (h, d) straight out of the context
+        from bpx.ops.attention import DenseParams
+        wo, bo = DenseParams(cfg.hidden_size, cfg.hidden_size,
+                             name="attention_output")()
+        if attn_out.ndim == 4:      # (B, H, T, D) head-major context
+            H, D = attn_out.shape[1], attn_out.shape[3]
+            attn_out = jnp.einsum(
+                "bhtd,hde->bte", attn_out,
+                wo.astype(self.dtype).reshape(H, D, cfg.hidden_size))
+        else:
+            attn_out = attn_out @ wo.astype(self.dtype)
+        attn_out = attn_out + bo.astype(self.dtype)
         hidden = LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                               name="attention_norm")(hidden + dropout(attn_out))
 

@@ -58,26 +58,40 @@ def _ln_fwd_kernel(x_ref, s_ref, b_ref, y_ref, mu_ref, rs_ref, *, eps: float):
     y = xc * rstd[:, None] * s_ref[...].astype(jnp.float32) \
         + b_ref[...].astype(jnp.float32)
     y_ref[...] = y.astype(y_ref.dtype)
-    mu_ref[...] = mu[None, :]
-    rs_ref[...] = rstd[None, :]
+    # stats as (BLK, 1) columns: lane dim 1 == array dim (Mosaic allows any
+    # block whose lane dim equals the array's), sublane BLK is 8-aligned
+    mu_ref[...] = mu[:, None]
+    rs_ref[...] = rstd[:, None]
 
 
 def _ln_bwd_kernel(x_ref, s_ref, mu_ref, rs_ref, dy_ref,
-                   dx_ref, ds_ref, db_ref):
+                   dx_ref, ds_ref, db_ref, ds_acc, db_acc):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        ds_acc[...] = jnp.zeros_like(ds_acc)
+        db_acc[...] = jnp.zeros_like(db_acc)
+
     x = x_ref[...].astype(jnp.float32)
     dy = dy_ref[...].astype(jnp.float32)
-    e = x.shape[1]
-    mu = mu_ref[0]
-    rstd = rs_ref[0]
+    mu = mu_ref[:, 0]
+    rstd = rs_ref[:, 0]
     xhat = (x - mu[:, None]) * rstd[:, None]
     a = dy * s_ref[...].astype(jnp.float32)
     m1 = jnp.mean(a, axis=1)
     m2 = jnp.mean(a * xhat, axis=1)
     dx = rstd[:, None] * (a - m1[:, None] - xhat * m2[:, None])
     dx_ref[...] = dx.astype(dx_ref.dtype)
-    # per-tile partial param grads; XLA sums the (n_tiles, E) outputs
-    ds_ref[...] = jnp.sum(dy * xhat, axis=0)[None, :]
-    db_ref[...] = jnp.sum(dy, axis=0)[None, :]
+    # param grads accumulate in VMEM scratch across the (sequential on TPU)
+    # grid; written once by the final program
+    ds_acc[...] += jnp.sum(dy * xhat, axis=0)[None, :]
+    db_acc[...] += jnp.sum(dy, axis=0)[None, :]
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _flush():
+        ds_ref[...] = ds_acc[...]
+        db_ref[...] = db_acc[...]
 
 
 def _pick_blk(n: int) -> int:
@@ -101,13 +115,13 @@ def _ln_fwd(x2, scale, bias, eps: float):
         ],
         out_specs=[
             pl.BlockSpec((blk, e), lambda i: (i, 0)),
-            pl.BlockSpec((1, blk), lambda i: (0, i)),
-            pl.BlockSpec((1, blk), lambda i: (0, i)),
+            pl.BlockSpec((blk, 1), lambda i: (i, 0)),
+            pl.BlockSpec((blk, 1), lambda i: (i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, e), x2.dtype),
-            jax.ShapeDtypeStruct((1, n), jnp.float32),
-            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
         ],
         interpret=_interpret())(x2, scale[None, :], bias[None, :])
     return y, mu, rstd
@@ -134,22 +148,24 @@ def _layer_norm_bwd(eps, res, dy):
         in_specs=[
             pl.BlockSpec((blk, e), lambda i: (i, 0)),
             pl.BlockSpec((1, e), lambda i: (0, 0)),
-            pl.BlockSpec((1, blk), lambda i: (0, i)),
-            pl.BlockSpec((1, blk), lambda i: (0, i)),
+            pl.BlockSpec((blk, 1), lambda i: (i, 0)),
+            pl.BlockSpec((blk, 1), lambda i: (i, 0)),
             pl.BlockSpec((blk, e), lambda i: (i, 0)),
         ],
         out_specs=[
             pl.BlockSpec((blk, e), lambda i: (i, 0)),
-            pl.BlockSpec((1, e), lambda i: (i, 0)),
-            pl.BlockSpec((1, e), lambda i: (i, 0)),
+            pl.BlockSpec((1, e), lambda i: (0, 0)),
+            pl.BlockSpec((1, e), lambda i: (0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, e), x2.dtype),
-            jax.ShapeDtypeStruct((n // blk, e), jnp.float32),
-            jax.ShapeDtypeStruct((n // blk, e), jnp.float32),
+            jax.ShapeDtypeStruct((1, e), jnp.float32),
+            jax.ShapeDtypeStruct((1, e), jnp.float32),
         ],
+        scratch_shapes=[pltpu.VMEM((1, e), jnp.float32),
+                        pltpu.VMEM((1, e), jnp.float32)],
         interpret=_interpret())(x2, scale[None, :], mu, rstd, dy)
-    return dx, jnp.sum(ds_p, axis=0), jnp.sum(db_p, axis=0)
+    return dx, ds_p[0], db_p[0]
 
 
 _layer_norm.defvjp(_layer_norm_fwd, _layer_norm_bwd)

@@ -245,3 +245,28 @@ def test_remat_policy_save_attn_grads_match_full():
                                        atol=1e-6)
     finally:
         os.environ.pop("BPX_FORCE_PALLAS", None)
+
+
+@pytest.mark.parametrize("qkv_bhtd,out_bhtd", [("1", "0"), ("0", "0"),
+                                               ("1", "1")])
+def test_layout_flags_match_default(monkeypatch, qkv_bhtd, out_bhtd):
+    """Head-major q/k/v and output layouts (BPX_QKV_BHTD / BPX_OUT_BHTD)
+    are pure layout changes: encoder outputs must match the einsum oracle
+    path in every combination."""
+    monkeypatch.setenv("BPX_FORCE_PALLAS", "1")
+    monkeypatch.setenv("BPX_QKV_BHTD", qkv_bhtd)
+    monkeypatch.setenv("BPX_OUT_BHTD", out_bhtd)
+    E, H, L = 32, 4, 2
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 16, E).astype(np.float32))
+    kv = jnp.asarray(rng.randn(2, 24, E).astype(np.float32))
+    flash = TransformerEncoder(embed_dim=E, num_heads=H, layers=L,
+                               attn_mask=True, attention_impl="pallas")
+    p = flash.init(jax.random.PRNGKey(0), x, kv, kv)
+    got = flash.apply(p, x, kv, kv)
+    monkeypatch.setenv("BPX_FORCE_PALLAS", "0")
+    xla = TransformerEncoder(embed_dim=E, num_heads=H, layers=L,
+                             attn_mask=True, attention_impl="xla")
+    want = xla.apply(p, x, kv, kv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
