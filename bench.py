@@ -64,7 +64,8 @@ def _example_batch(exp, batch):
     return out
 
 
-def measure_tpu(exp, batch_size: int, steps: int = BENCH_STEPS):
+def measure_tpu(exp, batch_size: int, steps: int = BENCH_STEPS,
+                accum: int = 1):
     import jax
     import jax.numpy as jnp
     from bpx.models import get_model
@@ -75,7 +76,13 @@ def measure_tpu(exp, batch_size: int, steps: int = BENCH_STEPS):
 
     model = get_model(exp.model)
     host = _example_batch(exp, batch_size)
-    batch = {k: jnp.asarray(v[None]) for k, v in host.items()}  # accum=1
+    # (A, micro, ...) super-batch: same global batch + update math, 1/A the
+    # live activations (what lets the Pallas LayerNorm buffers fit at
+    # batch 64 alongside the save_attn residuals — see PERF.md round 3)
+    assert batch_size % accum == 0
+    batch = {k: jnp.asarray(v.reshape((accum, batch_size // accum)
+                                      + v.shape[1:]))
+             for k, v in host.items()}
     inputs = model_inputs(exp.model.model,
                           {k: v[0] for k, v in batch.items()})
     params = model.init({"params": jax.random.PRNGKey(0)}, *inputs)["params"]
@@ -83,7 +90,7 @@ def measure_tpu(exp, batch_size: int, steps: int = BENCH_STEPS):
     state = TrainState.create(params, tx)
     loss_fn = make_loss_fn(exp.data.task, exp.data.task_type, False)
     step = jax.jit(make_train_step(model, exp.model.model, loss_fn, tx,
-                                   grad_accum=1), donate_argnums=(0,))
+                                   grad_accum=accum), donate_argnums=(0,))
     # rbg: the TPU hardware PRNG for dropout masks (threefry measured ~20%
     # of the step on this model).
     rng = jax.random.key(0, impl="rbg")
@@ -249,10 +256,17 @@ def main():
                              "(moviescope|mmimdb|iemocap|cmu-mosei|...)")
     parser.add_argument("--batch", type=int, default=BATCH)
     parser.add_argument("--steps", type=int, default=BENCH_STEPS)
+    parser.add_argument("--accum", type=int, default=None,
+                        help="micro-batch accumulation inside the step "
+                             "(default: 2 for moviescope at batch>=64 — "
+                             "the measured-fastest config — else 1)")
     args = parser.parse_args()
 
+    if args.accum is None:
+        args.accum = 2 if (args.preset == "moviescope"
+                           and args.batch >= 64) else 1
     exp = bench_config(args.preset, args.batch)
-    tpu_sps, stats = measure_tpu(exp, args.batch, args.steps)
+    tpu_sps, stats = measure_tpu(exp, args.batch, args.steps, args.accum)
     # the torch-CPU baseline model is moviescope-shaped only
     if args.skip_baseline or args.preset != "moviescope":
         baseline = None

@@ -36,6 +36,12 @@ def get_args(parser: argparse.ArgumentParser):
                         help="local vocab.txt for the WordPiece tokenizer")
     parser.add_argument("--bert_weights", type=str, default=None,
                         help="local HF torch checkpoint for BERT init")
+    parser.add_argument("--bert_gelu", type=str, default=None,
+                        choices=["erf", "tanh"],
+                        help="BERT FFN GELU form: erf = exact HF/torch "
+                             "numerics; tanh = original-BERT approximation, "
+                             "~7%% faster steps on TPU (default: the "
+                             "BertConfig/preset choice)")
     parser.add_argument("--data_path", type=str, default="/")
     parser.add_argument("--dropout", type=float, default=0.1)
     parser.add_argument("--freeze_txt", type=int, default=0)
@@ -176,6 +182,8 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
         bert = BertConfig.distil()
     else:
         bert = BertConfig.base()
+    if args.bert_gelu:
+        bert = dataclasses.replace(bert, gelu=args.bert_gelu)
 
     if args.use_audio_encoder == "auto":
         use_audio_encoder = (args.task == "moviescope"

@@ -109,10 +109,11 @@ def use_bhtd_layout() -> bool:
 def use_out_bhtd() -> bool:
     """Head-major attention OUTPUT: the kernel returns (B, H, Tq, D) and
     out_proj contracts over (h, d) directly, removing the context's HBM
-    transpose (and its dO mirror in backward).  Probe knob, default off:
-    BPX_OUT_BHTD=1."""
+    transpose (and its dO mirror in backward).  Measured -7 ms on the
+    moviescope bench (PERF.md round 3); parity pinned by
+    test_layout_flags_match_default.  Opt-out knob: BPX_OUT_BHTD=0."""
     import os
-    return os.environ.get("BPX_OUT_BHTD", "0") == "1"
+    return os.environ.get("BPX_OUT_BHTD", "1") != "0"
 
 
 def fused_projection_bhtd(x: jax.Array, kernels, biases, dtype,

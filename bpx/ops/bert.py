@@ -138,12 +138,14 @@ class BertLayer(nn.Module):
 
         inter = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
                          name="intermediate")(hidden)
-        # erf-GELU matches HF numerics; the tanh form is a perf probe for
-        # the fc1+GELU fusion's transcendental epilogue (BPX_TANH_GELU=1,
-        # documented divergence — see PERF.md)
+        # GELU form from config: "erf" matches HF numerics exactly; "tanh"
+        # (the original google-research/bert approximation) avoids the
+        # VPU-bound erf epilogue in the fc1 fusion (PERF.md round 3).
+        # BPX_TANH_GELU overrides either way for A/B probes.
         import os
-        inter = jax.nn.gelu(
-            inter, approximate=os.environ.get("BPX_TANH_GELU", "") == "1")
+        flag = os.environ.get("BPX_TANH_GELU")
+        approx = (cfg.gelu == "tanh") if flag is None else flag == "1"
+        inter = jax.nn.gelu(inter, approximate=approx)
         out = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output")(inter)
         return LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                             name="output_norm")(hidden + dropout(out))

@@ -59,7 +59,9 @@ def main():
     if args.scan_unroll is not None:
         over["scan_unroll"] = args.scan_unroll
     if args.remat_policy is not None:
-        over["remat_policy"] = args.remat_policy
+        # "none" selects full recompute (config remat_policy=None)
+        over["remat_policy"] = (None if args.remat_policy == "none"
+                                else args.remat_policy)
     if over:
         exp = exp.replace(model=exp.model.replace(**over))
     sys.stderr.write(f"overrides: {over}\n")

@@ -73,6 +73,28 @@ def test_bert_random_init_runs():
     assert out2.shape == out.shape
 
 
+def test_gelu_config_selects_form():
+    """``BertConfig.gelu`` plumbs through to the FFN activation: tanh vs erf
+    outputs differ (the knob is live) but only by the approximation error
+    (~1e-3 in activations — the documented perf divergence, PARITY.md)."""
+    import dataclasses
+    cfg = BertConfig.tiny()
+    assert cfg.gelu == "erf"            # default = exact HF numerics
+    enc_erf = BertEncoder(cfg)
+    enc_tanh = BertEncoder(dataclasses.replace(cfg, gelu="tanh"))
+    ids = jnp.asarray(np.random.RandomState(0).randint(1, 100, (2, 8)))
+    mask = jnp.ones((2, 8), jnp.int32)
+    variables = enc_erf.init(jax.random.PRNGKey(0), ids, mask)
+    a = np.asarray(enc_erf.apply(variables, ids, mask))
+    b = np.asarray(enc_tanh.apply(variables, ids, mask))
+    assert not np.array_equal(a, b)
+    np.testing.assert_allclose(a, b, atol=5e-2)
+    # the perf presets opt into the tanh form
+    from bpx.config import get_preset
+    assert get_preset("moviescope").model.bert.gelu == "tanh"
+    assert get_preset("stress").model.bert.gelu == "tanh"
+
+
 def test_distil_config_runs():
     """DistilBERT-style variant: no token-type embeddings
     (ref CLI choice distilbert-base-uncased, train.py:34)."""
