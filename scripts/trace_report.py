@@ -4,10 +4,12 @@ Parses ``<dir>/plugins/profile/*/*.trace.json.gz`` (the chrome-trace the TPU
 profiler emits through the axon tunnel), keeps the TPU device pid's
 "XLA Ops" thread (per-op leaf durations), and aggregates by op name.
 
-  python scripts/trace_report.py /tmp/tr_pallas [--top 40] [--group]
+  python scripts/trace_report.py /tmp/tr_pallas [--top 40] [--group] [--self]
 
 --group folds op instances (`fusion.123` -> `fusion`) and pallas kernel
 instances to one row per kernel.
+--self subtracts nested children (ops inside `while`/`fusion` spans) from
+each event so scan bodies are not double-counted.
 """
 
 from __future__ import annotations
@@ -50,21 +52,51 @@ def load_events(trace_dir: str):
 _INSTANCE = re.compile(r"[.\d]+$")
 
 
+def self_times(events):
+    """Per-event duration minus nested children (same thread, contained
+    span) — the classic flame-graph self-time, so `while` scan bodies are
+    not double-counted with the ops inside them."""
+    by_thread = collections.defaultdict(list)
+    for e in events:
+        by_thread[(e["pid"], e.get("tid"))].append(e)
+    out = []
+    for evs in by_thread.values():
+        evs.sort(key=lambda e: (e["ts"], -e.get("dur", 0)))
+        stack = []  # (end_ts, event, child_total)
+        for e in evs:
+            ts, dur = e["ts"], e.get("dur", 0)
+            while stack and stack[-1][0] <= ts:
+                end, ev, child = stack.pop()
+                out.append((ev, ev.get("dur", 0) - child))
+                if stack:
+                    stack[-1][2] += ev.get("dur", 0)
+            stack.append([ts + dur, e, 0])
+        while stack:
+            end, ev, child = stack.pop()
+            out.append((ev, ev.get("dur", 0) - child))
+            if stack:
+                stack[-1][2] += ev.get("dur", 0)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("trace_dir")
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--group", action="store_true")
+    ap.add_argument("--self", dest="self_time", action="store_true")
     args = ap.parse_args()
 
     events = load_events(args.trace_dir)
     total = collections.Counter()
     count = collections.Counter()
-    for e in events:
+    pairs = (self_times(events) if args.self_time
+             else [(e, e.get("dur", 0)) for e in events])
+    for e, dur in pairs:
         name = e.get("name", "?")
         if args.group:
             name = _INSTANCE.sub("", name)
-        total[name] += e.get("dur", 0)
+        total[name] += dur
         count[name] += 1
 
     grand = sum(total.values())
