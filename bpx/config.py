@@ -272,6 +272,10 @@ def _moviescope() -> ExperimentConfig:
             # stacks 4-wide and keeping crossmodal flash outs across the
             # remat boundary are each worth ~1-2% step time
             scan_unroll=4, remat_policy="save_attn",
+            # fully unrolling the shallow crossmodal stacks (BERT stays
+            # scanned) removes their stacked-carry copies: -7 ms/step at
+            # batch 64 / accum 4 (PERF.md round 3)
+            scan_encoders=False,
             # tanh GELU: -65 ms/step on this bench (PERF.md round 3)
             bert=BertConfig(gelu="tanh"),
         ),

@@ -8,7 +8,10 @@ Must run before the first ``import jax`` anywhere in the test process.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# BPX_TEST_PLATFORM=axon runs the suite against the real TPU backend
+# (used to verify backend-sensitive tests, e.g. the pallas dropout
+# statistics, on actual hardware); default is the 8-device virtual CPU.
+os.environ["JAX_PLATFORMS"] = os.environ.get("BPX_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
