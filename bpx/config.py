@@ -147,6 +147,12 @@ class ModelConfig:
     # Selective remat: None inherits `remat`; False keeps BERT activations
     # resident (saves its recompute pass when HBM allows).
     remat_bert: Optional[bool] = None
+    # Recompute policy for the BERT stack only.  Default None keeps full
+    # recompute: at batch 64 / accum 1 BERT's saved flash outs (~620 MB)
+    # overflow HBM.  Micro-batched steps (grad_accum >= 2) divide that
+    # live footprint, making "save_attn" viable — the backward then skips
+    # re-running BERT's 12 forward flash kernels.
+    remat_policy_bert: Optional[str] = None
     # Scan only some stacks: None inherits `scan_layers`.  Unrolling the
     # shallow (4-layer) crossmodal encoders removes their scan-carry
     # copies and lets XLA fuse across layers, at higher compile time;

@@ -396,11 +396,11 @@ class BPMulTVAPT(_BPMulTBase):
                                 attention_impl=(cfg.bert_attention_impl
                                                 or cfg.attention_impl),
                                 scan_unroll=cfg.scan_unroll,
-                                # remat_policy stays full-recompute for BERT:
-                                # its saved flash outs cost ~620 MB while its
-                                # kernel-refwd share is the smaller half; with
-                                # BERT included save_attn overflows HBM by
-                                # 510 MB at batch 64
+                                # Default remat_policy_bert=None keeps BERT on
+                                # full recompute (save_attn overflows HBM by
+                                # 510 MB at batch 64 / accum 1); micro-batched
+                                # steps can opt in via remat_policy_bert.
+                                remat_policy=cfg.remat_policy_bert,
                                 name="bert")
         if cfg.use_audio_encoder:
             self.audio_enc = make_audio_encoder(
@@ -527,11 +527,9 @@ class BPMulTVAT(_BPMulTBase):
                                 attention_impl=(cfg.bert_attention_impl
                                                 or cfg.attention_impl),
                                 scan_unroll=cfg.scan_unroll,
-                                # remat_policy stays full-recompute for BERT:
-                                # its saved flash outs cost ~620 MB while its
-                                # kernel-refwd share is the smaller half; with
-                                # BERT included save_attn overflows HBM by
-                                # 510 MB at batch 64
+                                # See mmtrvapt: full recompute by default,
+                                # opt-in save_attn under micro-batching.
+                                remat_policy=cfg.remat_policy_bert,
                                 name="bert")
         dense_nb = lambda feat, name: nn.Dense(
             feat, use_bias=False, dtype=dt,

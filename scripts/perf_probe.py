@@ -32,6 +32,7 @@ def main():
     p.add_argument("--scan_layers", type=int, default=None)
     p.add_argument("--scan_unroll", type=int, default=None)
     p.add_argument("--remat_policy", default=None)
+    p.add_argument("--remat_policy_bert", default=None)
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--grad_accum", type=int, default=1,
                    help="split the global batch into A sequential "
@@ -43,6 +44,9 @@ def main():
     p.add_argument("--cast", type=int, default=0,
                    help="feed float feature streams in compute dtype "
                         "(measured +12% step time -- default off)")
+    p.add_argument("--infer", action="store_true",
+                   help="forward-only deterministic latency (serving "
+                        "shape) instead of the train step")
     args = p.parse_args()
 
     import bench
@@ -58,10 +62,11 @@ def main():
             over[key] = bool(getattr(args, key))
     if args.scan_unroll is not None:
         over["scan_unroll"] = args.scan_unroll
-    if args.remat_policy is not None:
-        # "none" selects full recompute (config remat_policy=None)
-        over["remat_policy"] = (None if args.remat_policy == "none"
-                                else args.remat_policy)
+    for key in ("remat_policy", "remat_policy_bert"):
+        val = getattr(args, key)
+        if val is not None:
+            # "none" selects full recompute (config value None)
+            over[key] = None if val == "none" else val
     if over:
         exp = exp.replace(model=exp.model.replace(**over))
     sys.stderr.write(f"overrides: {over}\n")
@@ -86,6 +91,27 @@ def main():
     inputs = (batch["txt"][0], batch["mask"][0], batch["segment"][0],
               batch["video"][0], batch["audio"][0], batch["poster"][0])
     params = model.init({"params": jax.random.PRNGKey(0)}, *inputs)["params"]
+
+    if args.infer:
+        fwd = jax.jit(lambda p, *xs: model.apply({"params": p}, *xs))
+        t_c = time.perf_counter()
+        for _ in range(args.warmup):
+            jax.block_until_ready(fwd(params, *inputs))
+        sys.stderr.write(f"compile+warmup: {time.perf_counter()-t_c:.0f}s\n")
+        times = []
+        for _ in range(args.steps):
+            t0 = time.perf_counter()
+            out = fwd(params, *inputs)
+            # fetch a scalar: the axon tunnel's async dispatch makes
+            # block_until_ready alone unreliable (PERF.md)
+            float(out[0, 0]) if hasattr(out, "shape") else None
+            times.append(time.perf_counter() - t0)
+        p50 = sorted(times)[len(times) // 2]
+        print(json.dumps({"p50_ms": round(p50 * 1000, 1),
+                          "samples_per_sec": round(args.batch / p50, 2),
+                          "mode": "infer", "overrides": over}))
+        return
+
     tx = make_optimizer(1e-4)
     state = TrainState.create(params, tx)
     loss_fn = make_loss_fn("moviescope", "multilabel", False)

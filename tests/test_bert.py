@@ -200,3 +200,32 @@ def test_bert_pallas_dropout_trains(monkeypatch):
     o4 = np.asarray(fwd(params, jax.random.PRNGKey(4)))
     assert np.abs(o3 - o4).max() > 1e-3
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+
+
+def test_bert_remat_policy_save_attn_grads_match_full(monkeypatch):
+    """remat_policy="save_attn" on the BERT stack (opt-in under
+    micro-batching, config.remat_policy_bert) only changes backward
+    scheduling — grads must match full-recompute remat exactly."""
+    monkeypatch.setenv("BPX_FORCE_PALLAS", "1")
+    cfg = BertConfig.tiny()
+    B, T = 2, 64
+    rng = np.random.RandomState(2)
+    ids = jnp.asarray(rng.randint(1, cfg.vocab_size, (B, T)), jnp.int32)
+    mask = jnp.ones((B, T), jnp.int32)
+
+    def build(policy):
+        return BertEncoder(cfg, attention_impl="pallas", scan_layers=True,
+                           remat=True, remat_policy=policy)
+
+    m0, m1 = build(None), build("save_attn")
+    params = m0.init(jax.random.PRNGKey(0), ids, mask)
+    W = jnp.asarray(np.random.RandomState(7).randn(cfg.hidden_size, 4),
+                    jnp.float32)
+
+    def loss(m, p):
+        return jnp.sum((m.apply(p, ids, mask) @ W) ** 2)
+
+    g0 = jax.grad(lambda p: loss(m0, p))(params)
+    g1 = jax.grad(lambda p: loss(m1, p))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
