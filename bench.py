@@ -258,14 +258,15 @@ def main():
     parser.add_argument("--steps", type=int, default=BENCH_STEPS)
     parser.add_argument("--accum", type=int, default=None,
                         help="micro-batch accumulation inside the step "
-                             "(default: 4 for moviescope at batch>=64 — "
-                             "the measured-fastest config (A/B over "
-                             "accum 1/2/4/8, PERF.md round 3) — else 1)")
+                             "(default: 8 for moviescope at batch>=64 — "
+                             "micro-batch 8 is what lets the preset run "
+                             "remat-free (A/B over accum 1/2/4/8, PERF.md "
+                             "round 3) — else 1)")
     args = parser.parse_args()
 
     if args.accum is None:
         if args.preset == "moviescope" and args.batch >= 64:
-            args.accum = 4
+            args.accum = 8
         elif args.preset == "mmimdb" and args.batch >= 64:
             # b64/accum2 beats b32/accum1: 49.6 vs 48.0 samples/s (PERF.md)
             args.accum = 2

@@ -272,12 +272,17 @@ def _moviescope() -> ExperimentConfig:
             hidden_sz=768, num_heads=8, layers=4,
             num_vectors_l=512, num_vectors_a=200, num_vectors_v=200,
             use_audio_encoder=True, use_poster=True,
-            scan_layers=True, remat=True,
+            # No remat: with accum-8 micro-batching (micro-batch 8, the
+            # bench default at batch 64) every activation fits HBM resident
+            # and the ~21 TF/step recompute pass disappears — 845.4 ->
+            # 801.1 ms/step (PERF.md round 3).  Memory envelope: micro-batch
+            # <= 8 no-remat; <= 16 needs remat_bert=False+remat; larger
+            # needs remat=True (+ remat_policy="save_attn").
+            scan_layers=True, remat=False,
             attention_impl="pallas",
-            # measured on v5e at batch 64 (PERF.md): unrolling the scanned
-            # stacks 4-wide and keeping crossmodal flash outs across the
-            # remat boundary are each worth ~1-2% step time
-            scan_unroll=4, remat_policy="save_attn",
+            # unroll 8 on the scanned BERT stack: fewer stacked-carry
+            # round-trips (915.7 -> 895.4 ms at accum 4; unroll 12 equal)
+            scan_unroll=8,
             # fully unrolling the shallow crossmodal stacks (BERT stays
             # scanned) removes their stacked-carry copies: -7 ms/step at
             # batch 64 / accum 4 (PERF.md round 3)

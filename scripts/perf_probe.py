@@ -23,6 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--preset", default="moviescope",
+                   help="any BASELINE.md config preset")
     p.add_argument("--attention_impl", default=None)
     p.add_argument("--bert_attention_impl", default=None)
     p.add_argument("--remat", type=int, default=None)
@@ -51,7 +53,7 @@ def main():
 
     import bench
     bench.BATCH = args.batch
-    exp = bench.bench_config()
+    exp = bench.bench_config(args.preset)
     over = {}
     for key in ("attention_impl", "bert_attention_impl"):
         if getattr(args, key) is not None:
@@ -77,7 +79,7 @@ def main():
     from bpx.train.losses import make_loss_fn
     from bpx.train.optim import make_optimizer
     from bpx.train.state import TrainState
-    from bpx.train.steps import make_train_step
+    from bpx.train.steps import make_train_step, model_inputs
 
     from bpx.train.steps import cast_features
     model = get_model(exp.model)
@@ -88,8 +90,8 @@ def main():
              for k, v in host.items()}
     if args.cast:
         batch = cast_features(batch, jnp.dtype(exp.model.compute_dtype))
-    inputs = (batch["txt"][0], batch["mask"][0], batch["segment"][0],
-              batch["video"][0], batch["audio"][0], batch["poster"][0])
+    inputs = model_inputs(exp.model.model,
+                          {k: v[0] for k, v in batch.items()})
     params = model.init({"params": jax.random.PRNGKey(0)}, *inputs)["params"]
 
     if args.infer:
@@ -114,7 +116,7 @@ def main():
 
     tx = make_optimizer(1e-4)
     state = TrainState.create(params, tx)
-    loss_fn = make_loss_fn("moviescope", "multilabel", False)
+    loss_fn = make_loss_fn(exp.data.task, exp.data.task_type, False)
     step = jax.jit(make_train_step(model, exp.model.model, loss_fn, tx,
                                    grad_accum=A), donate_argnums=(0,))
     rng = jax.random.key(0, impl="rbg")
