@@ -30,6 +30,21 @@ BENCH_STEPS = 30
 WARMUP_STEPS = 3
 
 
+def default_accum(preset: str, batch: int) -> int:
+    """Accumulation factor that keeps the preset inside its memory envelope.
+
+    The moviescope preset runs remat-free (config.py), which is only
+    HBM-feasible at micro-batch <= 8 (no-remat at micro-batch 16 OOMs by
+    1.09 G — PERF.md round 3), so its accumulation scales with the batch.
+    mmimdb: b64/accum2 beats b32/accum1 (49.6 vs 48.0 samples/s, PERF.md).
+    """
+    if preset == "moviescope":
+        return max(1, batch // 8)
+    if preset == "mmimdb" and batch >= 64:
+        return 2
+    return 1
+
+
 def bench_config(preset: str = "moviescope", batch: int = None):
     from bpx.config import get_preset
     import dataclasses
@@ -258,20 +273,13 @@ def main():
     parser.add_argument("--steps", type=int, default=BENCH_STEPS)
     parser.add_argument("--accum", type=int, default=None,
                         help="micro-batch accumulation inside the step "
-                             "(default: 8 for moviescope at batch>=64 — "
-                             "micro-batch 8 is what lets the preset run "
-                             "remat-free (A/B over accum 1/2/4/8, PERF.md "
-                             "round 3) — else 1)")
+                             "(default: keeps the preset inside its memory "
+                             "envelope — micro-batch 8 for the remat-free "
+                             "moviescope preset; see default_accum)")
     args = parser.parse_args()
 
     if args.accum is None:
-        if args.preset == "moviescope" and args.batch >= 64:
-            args.accum = 8
-        elif args.preset == "mmimdb" and args.batch >= 64:
-            # b64/accum2 beats b32/accum1: 49.6 vs 48.0 samples/s (PERF.md)
-            args.accum = 2
-        else:
-            args.accum = 1
+        args.accum = default_accum(args.preset, args.batch)
     exp = bench_config(args.preset, args.batch)
     tpu_sps, stats = measure_tpu(exp, args.batch, args.steps, args.accum)
     # the torch-CPU baseline model is moviescope-shaped only

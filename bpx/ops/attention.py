@@ -126,11 +126,17 @@ def fused_projection_bhtd(x: jax.Array, kernels, biases, dtype,
     so no separate HBM transpose pass exists for XLA to schedule.
     Returns a tuple of S arrays shaped (B, H, T, D).
     """
+    from jax.sharding import PartitionSpec as P
+    from bpx.parallel.sharding import constrain
     E = kernels[0].shape[0]
     S = len(kernels)
     head_dim = kernels[0].shape[1] // num_heads
     w = jnp.stack([k.astype(dtype).reshape(E, num_heads, head_dim)
                    for k in kernels], axis=1)          # (E, S, H, D)
+    # same column-parallel pin as fused_projection: the head axis carries
+    # the kernels' output-column sharding (constrain fits/replicates when
+    # H doesn't divide the mesh group)
+    w = constrain(w, P(None, None, ("fsdp", "tensor"), None))
     y = jnp.einsum("bte,eshd->sbhtd", x.astype(dtype), w)
     if biases[0] is not None:
         b = jnp.stack([bb.astype(dtype).reshape(num_heads, head_dim)

@@ -214,4 +214,7 @@ class LayerNorm(nn.Module):
         e = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (e,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (e,), jnp.float32)
-        return layer_norm(x, scale, bias, self.epsilon)
+        # honor the dtype field like nn.LayerNorm: compute dtype is what
+        # comes out, even when the input arrives wider (e.g. fp32 residual
+        # feeding a bf16-configured block)
+        return layer_norm(x.astype(self.dtype), scale, bias, self.epsilon)

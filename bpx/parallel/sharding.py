@@ -144,12 +144,17 @@ def constrain(x, spec: P):
     Model code calls this to pin activation/weight-view shardings at fusion
     boundaries so GSPMD propagation doesn't invent conflicting layouts (the
     "involuntary full rematerialization" warnings).  Single-device runs and
-    tests without a mesh context trace straight through.
+    tests without a mesh context trace straight through.  The spec is fitted
+    against the mesh the same way :func:`param_shardings` fits params —
+    axes whose size doesn't divide the mesh group replicate — so a pinned
+    view can never disagree with the sharding of the params it aliases
+    (e.g. hidden 300 on a 4-way tensor mesh).
     """
     am = jax.sharding.get_abstract_mesh()
     if not am.axis_names or not {"data", "fsdp", "tensor"} <= set(am.axis_names):
         return x
-    return jax.lax.with_sharding_constraint(x, spec)
+    return jax.lax.with_sharding_constraint(
+        x, _fit_spec_to_mesh(spec, x.shape, am))
 
 
 def shard_params(params: Any, mesh: Mesh) -> Any:

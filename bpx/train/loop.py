@@ -103,8 +103,9 @@ def evaluate(eval_step_fn, params, loader, task: str, task_type: str,
         n = logits.shape[0] if valid is None else int(valid.sum())
         all_logits.append(logits[:n])
         all_targets.append(np.asarray(batch["target"])[:n])
-        batch_losses.append(float(out["loss"]))
-        batch_weights.append(n)
+        if loss_fn is None:     # else recomputed host-side below — skip
+            batch_losses.append(float(out["loss"]))    # the device fetch
+            batch_weights.append(n)
         if collect_gates and "gates" in out:
             all_gates.append(np.asarray(out["gates"])[:n])
     logits = np.concatenate(all_logits)

@@ -36,10 +36,11 @@ def main():
     p.add_argument("--remat_policy", default=None)
     p.add_argument("--remat_policy_bert", default=None)
     p.add_argument("--batch", type=int, default=64)
-    p.add_argument("--grad_accum", type=int, default=1,
+    p.add_argument("--grad_accum", type=int, default=None,
                    help="split the global batch into A sequential "
                         "micro-batches inside the step (same update "
-                        "semantics; 1/A the activation memory)")
+                        "semantics; 1/A the activation memory). Default: "
+                        "bench.default_accum — the preset's memory envelope")
     p.add_argument("--steps", type=int, default=8)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--profile_dir", default=None)
@@ -53,6 +54,8 @@ def main():
 
     import bench
     bench.BATCH = args.batch
+    if args.grad_accum is None:
+        args.grad_accum = bench.default_accum(args.preset, args.batch)
     exp = bench.bench_config(args.preset)
     over = {}
     for key in ("attention_impl", "bert_attention_impl"):

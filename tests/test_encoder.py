@@ -248,7 +248,7 @@ def test_remat_policy_save_attn_grads_match_full():
 
 
 @pytest.mark.parametrize("qkv_bhtd,out_bhtd", [("1", "0"), ("0", "0"),
-                                               ("1", "1")])
+                                               ("1", "1"), ("0", "1")])
 def test_layout_flags_match_default(monkeypatch, qkv_bhtd, out_bhtd):
     """Head-major q/k/v and output layouts (BPX_QKV_BHTD / BPX_OUT_BHTD)
     are pure layout changes: encoder outputs must match the einsum oracle

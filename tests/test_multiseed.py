@@ -30,7 +30,16 @@ def _setup():
 
 @pytest.mark.slow
 def test_multiseed_matches_individual_seeds():
-    exp, model, tx, loss_fn, batch = _setup()
+    exp, model, _, loss_fn, batch = _setup()
+    # SGD for the parity check: updates are linear in the grads, so the
+    # vmap-vs-individual difference stays at fp32 fusion-order noise.
+    # Adam's first-step g/sqrt(g^2) normalisation amplifies near-zero-grad
+    # elements into full lr-sized update flips — the test failed twice at
+    # widened tolerances on exactly those elements before this change.
+    # The machinery under test (init_multi_seed / vmapped step / unstack)
+    # is optimizer-agnostic.
+    import optax
+    tx = optax.sgd(1e-3)
     seeds = [3, 9]
     states = init_multi_seed(model, exp.model.model, batch, tx, seeds)
     step = jax.jit(make_multi_seed_train_step(model, exp.model.model,
@@ -65,10 +74,8 @@ def test_multiseed_matches_individual_seeds():
                                atol=1e-5)
     ex = unstack_seed(new_states, 0)
     # vmapped and individual runs fuse/accumulate in different orders, so
-    # post-adam params only match to fp32 tolerance (observed worst case:
-    # 1 element in 1.2M at 4.6e-4 after the dropout custom_vjp reordered
-    # the backward) -- the invariant under test is same init + same key
-    # => same training step, not bitwise equality
+    # post-step params match to fp32 fusion-order tolerance only; with SGD
+    # the difference is linear in the grad noise (no Adam amplification)
     for a, b in zip(jax.tree.leaves(ex.params),
                     jax.tree.leaves(state0b.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
