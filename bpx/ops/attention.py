@@ -126,17 +126,15 @@ def fused_projection_bhtd(x: jax.Array, kernels, biases, dtype,
     so no separate HBM transpose pass exists for XLA to schedule.
     Returns a tuple of S arrays shaped (B, H, T, D).
     """
-    from jax.sharding import PartitionSpec as P
-    from bpx.parallel.sharding import constrain
+    from bpx.parallel.sharding import constrain_heads
     E = kernels[0].shape[0]
     S = len(kernels)
     head_dim = kernels[0].shape[1] // num_heads
     w = jnp.stack([k.astype(dtype).reshape(E, num_heads, head_dim)
                    for k in kernels], axis=1)          # (E, S, H, D)
-    # same column-parallel pin as fused_projection: the head axis carries
-    # the kernels' output-column sharding (constrain fits/replicates when
-    # H doesn't divide the mesh group)
-    w = constrain(w, P(None, None, ("fsdp", "tensor"), None))
+    # same column-parallel pin as fused_projection, expressed on the head
+    # axis (only when the mesh group tiles it — see constrain_heads)
+    w = constrain_heads(w, head_axis=2)
     y = jnp.einsum("bte,eshd->sbhtd", x.astype(dtype), w)
     if biases[0] is not None:
         b = jnp.stack([bb.astype(dtype).reshape(num_heads, head_dim)
@@ -249,11 +247,14 @@ class MultiheadAttention(nn.Module):
         wo, bo = self.out_proj()
         if out_bhtd:
             # contract (h, d) straight out of the head-major context —
-            # same contraction as reshape+matmul, no transpose pass
-            y = jnp.einsum(
-                "bhtd,hde->bte", out,
-                wo.astype(self.dtype).reshape(self.num_heads, self.head_dim,
-                                              self.embed_dim))
+            # same contraction as reshape+matmul, no transpose pass.
+            # Pin the row-parallel sharding on the head axis of the view
+            # (mirrors the fused-projection pin; see constrain_heads).
+            from bpx.parallel.sharding import constrain_heads
+            wo_v = wo.astype(self.dtype).reshape(
+                self.num_heads, self.head_dim, self.embed_dim)
+            y = jnp.einsum("bhtd,hde->bte", out,
+                           constrain_heads(wo_v, head_axis=0))
         else:
             y = out.reshape(B, Tq, self.embed_dim) @ wo.astype(self.dtype)
         if bo is not None:

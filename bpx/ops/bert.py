@@ -126,10 +126,12 @@ class BertLayer(nn.Module):
         wo, bo = DenseParams(cfg.hidden_size, cfg.hidden_size,
                              name="attention_output")()
         if attn_out.ndim == 4:      # (B, H, T, D) head-major context
+            from bpx.parallel.sharding import constrain_heads
             H, D = attn_out.shape[1], attn_out.shape[3]
-            attn_out = jnp.einsum(
-                "bhtd,hde->bte", attn_out,
-                wo.astype(self.dtype).reshape(H, D, cfg.hidden_size))
+            wo_v = constrain_heads(   # row-parallel pin on the head axis
+                wo.astype(self.dtype).reshape(H, D, cfg.hidden_size),
+                head_axis=0)
+            attn_out = jnp.einsum("bhtd,hde->bte", attn_out, wo_v)
         else:
             attn_out = attn_out @ wo.astype(self.dtype)
         attn_out = attn_out + bo.astype(self.dtype)

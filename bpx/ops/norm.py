@@ -4,13 +4,16 @@ Motivation (device trace, moviescope bench step, PERF.md round 3): XLA
 lowers each (B, T, E) LayerNorm into `convert_reduce_fusion` /
 `multiply_reduce_fusion` groups that measured ~0.9-3.0 ms per instance —
 7-23x above the HBM floor for a 50 MB tensor — totalling ~188 ms of the
-~1010 ms step.  This kernel reads the bf16 input once, computes the fp32
-row statistics in VMEM, and writes the normalized output once: memory-bound
-by construction.
+~1010 ms step.  This kernel reads the input once (in whatever dtype it
+arrives — a wider-than-bf16 input costs proportionally more HBM traffic
+and backward-residual memory), computes the fp32 row statistics in VMEM,
+and writes the normalized output once: memory-bound by construction.
 
 Semantics match ``flax.linen.LayerNorm`` (ref model uses torch
 ``nn.LayerNorm``, transformer.py:187-202 / HF BERT): fp32 statistics over
-the last axis, learned (E,) scale/bias, y cast back to the input dtype.
+the UNTRUNCATED last axis, learned (E,) scale/bias, y cast to
+``out_dtype`` (default: the input dtype; the module passes its compute
+``dtype``).
 
 ``LayerNorm`` below is a drop-in module with the same param tree
 (``scale``, ``bias``) as ``nn.LayerNorm``; it routes to the kernel on TPU
@@ -102,7 +105,7 @@ def _pick_blk(n: int) -> int:
     return 0
 
 
-def _ln_fwd(x2, scale, bias, eps: float):
+def _ln_fwd(x2, scale, bias, eps: float, out_dtype):
     n, e = x2.shape
     blk = _pick_blk(n)
     y, mu, rstd = pl.pallas_call(
@@ -119,7 +122,7 @@ def _ln_fwd(x2, scale, bias, eps: float):
             pl.BlockSpec((blk, 1), lambda i: (i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, e), x2.dtype),
+            jax.ShapeDtypeStruct((n, e), out_dtype),
             jax.ShapeDtypeStruct((n, 1), jnp.float32),
             jax.ShapeDtypeStruct((n, 1), jnp.float32),
         ],
@@ -127,18 +130,18 @@ def _ln_fwd(x2, scale, bias, eps: float):
     return y, mu, rstd
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _layer_norm(x2, scale, bias, eps: float):
-    y, _, _ = _ln_fwd(x2, scale, bias, eps)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _layer_norm(x2, scale, bias, eps: float, out_dtype):
+    y, _, _ = _ln_fwd(x2, scale, bias, eps, out_dtype)
     return y
 
 
-def _layer_norm_fwd(x2, scale, bias, eps):
-    y, mu, rstd = _ln_fwd(x2, scale, bias, eps)
+def _layer_norm_fwd(x2, scale, bias, eps, out_dtype):
+    y, mu, rstd = _ln_fwd(x2, scale, bias, eps, out_dtype)
     return y, (x2, scale, mu, rstd)
 
 
-def _layer_norm_bwd(eps, res, dy):
+def _layer_norm_bwd(eps, out_dtype, res, dy):
     x2, scale, mu, rstd = res
     n, e = x2.shape
     blk = _pick_blk(n)
@@ -172,12 +175,15 @@ _layer_norm.defvjp(_layer_norm_fwd, _layer_norm_bwd)
 
 
 def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
-               eps: float = 1e-5) -> jax.Array:
-    """LayerNorm over the last axis; fp32 stats, output in x.dtype.
+               eps: float = 1e-5, out_dtype=None) -> jax.Array:
+    """LayerNorm over the last axis; fp32 stats on the UNTRUNCATED input
+    (flax ``nn.LayerNorm`` semantics), output in ``out_dtype`` (default:
+    x.dtype).
 
     Pallas kernel on TPU for row-tileable shapes; XLA formula otherwise
     (identical math — fp32 mean/var with 1/E normalisation, rsqrt).
     """
+    out_dtype = x.dtype if out_dtype is None else jnp.dtype(out_dtype)
     e = x.shape[-1]
     n = 1
     for d in x.shape[:-1]:
@@ -191,7 +197,7 @@ def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
     aligned = e % 128 == 0 or os.environ.get("BPX_FORCE_PALLAS", "") == "1"
     if _use_pallas_ln() and aligned and n >= 8 and _pick_blk(n):
         y = _layer_norm(x.reshape(n, e), scale.astype(jnp.float32),
-                        bias.astype(jnp.float32), float(eps))
+                        bias.astype(jnp.float32), float(eps), out_dtype)
         return y.reshape(x.shape)
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
@@ -199,7 +205,7 @@ def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
     var = jnp.mean(xc * xc, axis=-1, keepdims=True)
     y = xc * jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32) \
         + bias.astype(jnp.float32)
-    return y.astype(x.dtype)
+    return y.astype(out_dtype)
 
 
 class LayerNorm(nn.Module):
@@ -214,7 +220,7 @@ class LayerNorm(nn.Module):
         e = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (e,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (e,), jnp.float32)
-        # honor the dtype field like nn.LayerNorm: compute dtype is what
-        # comes out, even when the input arrives wider (e.g. fp32 residual
-        # feeding a bf16-configured block)
-        return layer_norm(x.astype(self.dtype), scale, bias, self.epsilon)
+        # honor the dtype field like nn.LayerNorm: fp32 stats on the
+        # untruncated input, output cast to the module's compute dtype
+        return layer_norm(x, scale, bias, self.epsilon,
+                          out_dtype=self.dtype)

@@ -111,8 +111,8 @@ def constrain_like_params(tree: Any) -> Any:
     rematerialization per scan iteration to reconcile it with the param
     layout.  Identity when no (data, fsdp, tensor) mesh context is active.
     """
-    am = jax.sharding.get_abstract_mesh()
-    if not am.axis_names or not {"data", "fsdp", "tensor"} <= set(am.axis_names):
+    am = _ambient_mesh()
+    if am is None:
         return tree
 
     def pin(path, leaf):
@@ -147,14 +147,48 @@ def constrain(x, spec: P):
     tests without a mesh context trace straight through.  The spec is fitted
     against the mesh the same way :func:`param_shardings` fits params —
     axes whose size doesn't divide the mesh group replicate — so a pinned
-    view can never disagree with the sharding of the params it aliases
-    (e.g. hidden 300 on a 4-way tensor mesh).
+    view never forces an illegal partition (e.g. hidden 300 on an 8-way
+    fsdp*tensor group replicates instead of erroring).
     """
-    am = jax.sharding.get_abstract_mesh()
-    if not am.axis_names or not {"data", "fsdp", "tensor"} <= set(am.axis_names):
+    am = _ambient_mesh()
+    if am is None:
         return x
     return jax.lax.with_sharding_constraint(
         x, _fit_spec_to_mesh(spec, x.shape, am))
+
+
+def _ambient_mesh():
+    """The active (data, fsdp, tensor) abstract mesh, or None.  Single
+    guard shared by every pin helper — pins silently disable without it."""
+    am = jax.sharding.get_abstract_mesh()
+    if not am.axis_names or not {"data", "fsdp", "tensor"} <= set(am.axis_names):
+        return None
+    return am
+
+
+def constrain_heads(w, head_axis: int):
+    """Pin a head-split weight VIEW's head axis to the column/row-parallel
+    ``("fsdp", "tensor")`` group when the group divides the head count —
+    then the head-axis sharding tiles exactly like the flat 2-D param
+    sharding it aliases (contiguous D-sized blocks).
+
+    When the group divides the flat width E = H*D but NOT H (BERT-base's
+    12 heads on an 8-way group), no spec on the (H, D) view can express
+    the params' contiguous column blocks, so the view is pinned
+    REPLICATED: a defined layout (one small per-layer all-gather of the
+    weight) in preference to leaving GSPMD to invent one — unpinned
+    weight views are the documented source of both the involuntary-full-
+    rematerialization warnings and the XLA:CPU SPMD miscompile recorded
+    in this module's header.
+    """
+    am = _ambient_mesh()
+    if am is None:
+        return w
+    group = am.shape["fsdp"] * am.shape["tensor"]
+    spec = [None] * w.ndim
+    if group > 1 and w.shape[head_axis] % group == 0:
+        spec[head_axis] = ("fsdp", "tensor")
+    return jax.lax.with_sharding_constraint(w, P(*spec))
 
 
 def shard_params(params: Any, mesh: Mesh) -> Any:

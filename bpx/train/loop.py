@@ -104,6 +104,10 @@ def evaluate(eval_step_fn, params, loader, task: str, task_type: str,
         all_logits.append(logits[:n])
         all_targets.append(np.asarray(batch["target"])[:n])
         if loss_fn is None:     # else recomputed host-side below — skip
+            if "loss" not in out:   # eval_step built without a loss_fn
+                raise ValueError(
+                    "eval_step emits no 'loss'; pass loss_fn to evaluate() "
+                    "or build make_eval_step with one")
             batch_losses.append(float(out["loss"]))    # the device fetch
             batch_weights.append(n)
         if collect_gates and "gates" in out:
@@ -159,8 +163,10 @@ def train(exp: ExperimentConfig, data_all=None,
     train_step = mesh_scoped(jax.jit(make_train_step(
         model, mcfg.model, loss_fn, tx, grad_accum=accum,
         freeze_bert=mcfg.freeze_bert), donate_argnums=(0,)), mesh)
+    # no device-side loss output: evaluate() recomputes it host-side over
+    # the valid-sliced concatenation (wrap-padded rows excluded)
     eval_step = mesh_scoped(
-        jax.jit(make_eval_step(model, mcfg.model, loss_fn)), mesh)
+        jax.jit(make_eval_step(model, mcfg.model)), mesh)
 
     mode = "min" if dcfg.task == "cmu-mosi" else "max"
     plateau = PlateauScheduler(lr=tcfg.lr, mode=mode, factor=tcfg.lr_factor,
@@ -284,7 +290,7 @@ def test(exp: ExperimentConfig, data_all=None,
         state = place_state(state, mesh)
 
     eval_step = mesh_scoped(
-        jax.jit(make_eval_step(model, mcfg.model, loss_fn,
+        jax.jit(make_eval_step(model, mcfg.model,
                                output_gates=tcfg.output_gates)), mesh)
     metrics, logits, targets, gates = evaluate(
         eval_step, state.params, test_loader, dcfg.task, dcfg.task_type,

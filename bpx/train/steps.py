@@ -143,10 +143,13 @@ def make_train_step(model, model_name: str, loss_fn: Callable,
     return train_step
 
 
-def make_eval_step(model, model_name: str, loss_fn: Callable,
+def make_eval_step(model, model_name: str, loss_fn: Callable = None,
                    output_gates: bool = False):
-    """Eval step: loss + logits (+ GMU gates for the interpretability
-    channel, ref: train.py:168-193)."""
+    """Eval step: logits (+ GMU gates for the interpretability channel,
+    ref: train.py:168-193).  ``loss_fn`` adds a device-side per-batch
+    loss output; evaluate() recomputes the loss host-side over the
+    valid-sliced concatenation instead, so its callers omit it and skip
+    the wasted device compute."""
 
     def eval_step(params, batch: Dict[str, jax.Array]):
         inputs = model_inputs(model_name, batch)
@@ -158,8 +161,9 @@ def make_eval_step(model, model_name: str, loss_fn: Callable,
             logits = model.apply({"params": params}, *inputs,
                                  deterministic=True)
             gates = None
-        loss = loss_fn(logits, batch["target"])
-        out = {"loss": loss, "logits": logits}
+        out = {"logits": logits}
+        if loss_fn is not None:
+            out["loss"] = loss_fn(logits, batch["target"])
         if gates is not None:
             out["gates"] = gates
         return out

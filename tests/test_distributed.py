@@ -251,3 +251,57 @@ def test_spec_fitting_to_mesh():
     assert sh["word_embeddings"]["embedding"].spec == P("fsdp", None)
     assert sh["fc1"]["kernel"].spec == P(None, ("fsdp", "tensor"))
     assert sh["odd"]["kernel"].spec == P(None, None)
+
+
+def test_constrain_heads_pin_decision():
+    """constrain_heads: head axis pinned to the (fsdp, tensor) group when it
+    divides H; pinned REPLICATED (defined layout, not GSPMD's choice) when
+    it doesn't.  No-mesh contexts trace straight through."""
+    from bpx.parallel.mesh import mesh_scoped
+    from bpx.parallel.sharding import constrain_heads
+
+    mesh = make_mesh(MeshConfig(data=2, fsdp=2, tensor=2))   # group = 4
+
+    def shard_of(h):
+        w = jnp.zeros((16, 3, h, 8))
+        out = mesh_scoped(jax.jit(lambda v: constrain_heads(v, head_axis=2)),
+                          mesh)(w)
+        return out.sharding.spec
+
+    # (XLA canonicalizes away the trailing None)
+    assert shard_of(8) == P(None, None, ("fsdp", "tensor"))
+    # 6 % 4 != 0: replicated pin, never a partial/invented layout
+    assert shard_of(6) == P()
+    # no ambient mesh: identity (single-device paths trace through)
+    w = jnp.zeros((16, 3, 8, 8))
+    assert constrain_heads(w, head_axis=2) is w
+
+
+@pytest.mark.slow
+def test_bhtd_attention_matches_unsharded_under_mesh():
+    """The head-major q/k/v + out-projection pins (fused_projection_bhtd,
+    constrain_heads) must not change numerics: the same MultiheadAttention
+    forward under an fsdp*tensor mesh context equals the no-mesh run, for
+    both a group-divisible (H=8) and a non-divisible (H=6) head count."""
+    import os
+    from bpx.ops.attention import MultiheadAttention
+    from bpx.parallel.mesh import mesh_scoped
+    from bpx.parallel.sharding import shard_params
+
+    os.environ["BPX_FORCE_PALLAS"] = "1"
+    try:
+        mesh = make_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
+        for H in (8, 6):
+            E = 48
+            m = MultiheadAttention(embed_dim=E, num_heads=H, impl="pallas")
+            rng = np.random.RandomState(H)
+            x = jnp.asarray(rng.randn(4, 16, E).astype(np.float32))
+            p = m.init(jax.random.PRNGKey(0), x)
+            want = m.apply(p, x)                      # no mesh context
+            placed = shard_params(p, mesh)
+            got = mesh_scoped(jax.jit(lambda v, a: m.apply(v, a)),
+                              mesh)(placed, x)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=2e-5, rtol=2e-5)
+    finally:
+        os.environ.pop("BPX_FORCE_PALLAS", None)
