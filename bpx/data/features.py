@@ -66,6 +66,17 @@ def _imdb_indices(path: str):
     return _load_pickle(path, encoding="ASCII")
 
 
+@functools.lru_cache(maxsize=2)
+def _imdb_h5(path: str):
+    """Keep the mmimdb HDF5 open across samples — open/parse/close per
+    item was ~25k syscall cycles per epoch in the prefetch worker.  One
+    handle per path; h5py serialises HDF5 calls under its global lock,
+    so sharing the handle across loader threads is safe (just not
+    parallel)."""
+    import h5py
+    return h5py.File(path, "r")
+
+
 class FeatureAdapter:
     """Loads (video, audio, poster) for one sample of one task."""
 
@@ -150,9 +161,8 @@ class FeatureAdapter:
             data = _load_pickle(os.path.join(d, "PosterFeatures", f"{sid}.p"))
             return np.asarray(data, dtype=np.float32).reshape(-1)
         if self.task == "mmimdb":
-            import h5py
             ind = _imdb_indices(os.path.join(d, "indices.pkl"))
-            with h5py.File(os.path.join(d, "multimodal_imdb.hdf5"), "r") as f:
-                data = f["vgg_features"][ind[sample["id"]]]
+            f = _imdb_h5(os.path.join(d, "multimodal_imdb.hdf5"))
+            data = f["vgg_features"][ind[sample["id"]]]
             return np.asarray(data, dtype=np.float32).reshape(-1)
         return None

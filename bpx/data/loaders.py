@@ -132,22 +132,45 @@ class BatchIterator:
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
 
         def worker():
+            # Worker failures must surface in the consumer (a swallowed
+            # loading error would silently truncate the epoch), and an
+            # abandoned iterator (consumer breaks early) must not leave
+            # the thread blocked forever on a full queue — hence the
+            # (kind, payload) protocol and the timeout/stop polling.
+            def put(item):
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        return True
+                    except queue.Full:
+                        continue
+                return False
+
             try:
                 for batch in self._batches():
-                    q.put(batch)
-            finally:
-                q.put(sentinel)
+                    if not put(("batch", batch)):
+                        return
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                put(("error", e))
+                return
+            put(("done", sentinel))
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                kind, item = q.get()
+                if kind == "done":
+                    break
+                if kind == "error":
+                    raise item
+                yield item
+            t.join()
+        finally:
+            stop.set()      # unblock (and retire) the worker on early exit
 
 
 def get_data_loaders(data_cfg: DataConfig, model_cfg: ModelConfig,

@@ -33,8 +33,10 @@ class Vocab:
     @classmethod
     def from_bert_vocab_file(cls, path: str) -> "Vocab":
         v = cls(emptyInit=True)
+        # strip \r too: a CRLF vocab.txt must index identically to the
+        # native loader (csrc/wordpiece.cpp), or '[UNK]' lookups KeyError
         with open(path, encoding="utf-8") as f:
-            v.itos = [line.rstrip("\n") for line in f if line.rstrip("\n")]
+            v.itos = [line.rstrip("\r\n") for line in f if line.rstrip("\r\n")]
         v.stoi = {w: i for i, w in enumerate(v.itos)}
         v.vocab_sz = len(v.itos)
         return v

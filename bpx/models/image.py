@@ -142,13 +142,24 @@ class FasterRCNNExtractor:
 
 def extract_to_pickles(extractor, items: Iterable, out_dir: str):
     """Run ``extractor`` over (id, image_array) pairs, writing ``{id}.p``
-    pickles in the layout the data adapters read (ref: dataset.py:94-104)."""
+    pickles in the layout the data adapters read (ref: dataset.py:94-104).
+
+    Plain extractors pickle the (N, feat) array; box extractors
+    (FasterRCNNExtractor) return a (features, boxes) pair and pickle a
+    ``{"features": (N, feat), "boxes": (N, 5)}`` dict — both with the
+    batch dim stripped."""
     import os
     os.makedirs(out_dir, exist_ok=True)
     for item_id, image in items:
-        feats = extractor(image[None])[0]
+        out = extractor(image[None])
+        if isinstance(out, tuple):          # (features, boxes) pair
+            feats, boxes = out
+            payload = {"features": np.asarray(feats)[0],
+                       "boxes": np.asarray(boxes)[0]}
+        else:
+            payload = np.asarray(out[0])
         with open(os.path.join(out_dir, f"{item_id}.p"), "wb") as f:
-            pickle.dump(np.asarray(feats), f)
+            pickle.dump(payload, f)
 
 
 # ---------------------------------------------------------------------------

@@ -157,6 +157,12 @@ class TranslatingMMTGMUClf(_BPMulTBase):
             self.proj_a = dense_nb(cfg.hidden_sz, "proj_a")
 
         # Second round is PLAIN crossmodal here (no biprojection sublayer).
+        if self.config.group_encoders:
+            # the grouped mesh only builds the vmapped pair modules; this
+            # model's second round addresses the ungrouped trans_* stacks
+            # directly (and grouping measured slower anyway, PERF.md)
+            raise ValueError("group_encoders is not supported for "
+                             "tmmtrvpa; use group_encoders=False")
         self._make_crossmodal_mesh(biprojection_second_round=False)
         self._make_gmus()
         self.transfm_a2l = SeqAdapter(cfg.num_vectors_l, dt, name="transfm_a2l")

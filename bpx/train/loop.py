@@ -137,9 +137,14 @@ def train(exp: ExperimentConfig, data_all=None,
     train_loader, val_loader, _, meta = get_data_loaders(
         dcfg, mcfg, seed=tcfg.seed, data_all=data_all,
         partition_index=partition_index)
-    if meta.n_classes != mcfg.n_classes:
+    if meta.n_classes != mcfg.n_classes and dcfg.task != "cmu-mosi":
         # the label scan is authoritative (ref: helpers.py:163 sets
-        # args.n_classes from the train.jsonl label set)
+        # args.n_classes from the train.jsonl label set).  Documented
+        # divergence for cmu-mosi: the scan over its continuous float
+        # labels would size the head by the count of DISTINCT training
+        # values (the reference does exactly that and then broadcasts
+        # L1 over every column, train.py:113-114) — here the regression
+        # head stays at the preset's n_classes=1.
         mcfg = mcfg.replace(n_classes=meta.n_classes)
         exp = exp.replace(model=mcfg)
     loss_fn = make_loss_fn(dcfg.task, dcfg.task_type, tcfg.weight_classes,
@@ -270,7 +275,7 @@ def test(exp: ExperimentConfig, data_all=None,
     _, _, test_loader, meta = get_data_loaders(
         dcfg, mcfg, seed=tcfg.seed, data_all=data_all,
         partition_index=partition_index)
-    if meta.n_classes != mcfg.n_classes:
+    if meta.n_classes != mcfg.n_classes and dcfg.task != "cmu-mosi":
         mcfg = mcfg.replace(n_classes=meta.n_classes)
         exp = exp.replace(model=mcfg)
     loss_fn = make_loss_fn(dcfg.task, dcfg.task_type, tcfg.weight_classes,

@@ -119,8 +119,15 @@ int32_t wp_encode(void* handle, const char* text, int32_t max_len,
     for (const char* p = text; *p; ++p) {
         unsigned char c = static_cast<unsigned char>(*p);
         if (c >= 0x80) return -1;   // non-ASCII -> python fallback
-        if (std::isspace(c) || std::iscntrl(c)) {
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\r') {
             flush_word();
+        } else if (c < 0x20 || c == 0x7f) {
+            // other control chars (incl. \v, \f) are DELETED, joining
+            // their neighbours — byte-for-byte what the python
+            // BasicTokenizer does (_is_control: category Cc except
+            // \t\n\r); treating them as separators would tokenize
+            // "don\x01t" as "don"+"t" here but "dont" in the fallback
+            continue;
         } else if (is_punct(c)) {
             flush_word();
             std::string punct(1, static_cast<char>(c));

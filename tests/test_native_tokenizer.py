@@ -22,6 +22,16 @@ def vocab_file(tmp_path_factory):
     return str(p)
 
 
+def test_crlf_vocab_reads_identically(tmp_path):
+    """A vocab.txt with Windows line endings must index the same in the
+    Python loader as in the native one (which strips \r)."""
+    p = tmp_path / "vocab_crlf.txt"
+    p.write_bytes("\r\n".join(VOCAB_WORDS).encode())
+    v = Vocab.from_bert_vocab_file(str(p))
+    assert v.itos[:5] == VOCAB_WORDS[:5]
+    assert v.stoi["[UNK]"] == 1 and v.stoi["the"] == 5
+
+
 def test_native_builds_and_matches_python(vocab_file):
     tokenizer, vocab = build_tokenizer(vocab_file)
     from bpx.data.native import NativeWordPieceTokenizer
@@ -35,6 +45,11 @@ def test_native_builds_and_matches_python(vocab_file):
         "zzz unknown wordzz",
         "a b c " * 50,
         "",
+        # control chars are DELETED (joining neighbours), except \t\n\r
+        # which separate — both paths must agree byte-for-byte
+        "the\x01cat sat",        # \x01 deleted: "thecat" -> [UNK]
+        "the\tcat\nsat\rmat",
+        "the\x0bcat\x0csat",    # \v/\f are control (deleted), not space
     ]
     for text in texts:
         for max_len in [4, 16, 128]:
