@@ -35,11 +35,17 @@ def default_accum(preset: str, batch: int) -> int:
 
     The moviescope preset runs remat-free (config.py), which is only
     HBM-feasible at micro-batch <= 8 (no-remat at micro-batch 16 OOMs by
-    1.09 G — PERF.md round 3), so its accumulation scales with the batch.
+    1.09 G — PERF.md round 3), so its accumulation scales with the batch:
+    the smallest divisor of ``batch`` with micro-batch <= 8 (batch 64 ->
+    accum 8, 28 -> 4, 12 -> 2; a prime batch > 8 degrades to per-sample
+    micro-batches rather than exceeding the envelope).
     mmimdb: b64/accum2 beats b32/accum1 (49.6 vs 48.0 samples/s, PERF.md).
     """
-    if preset == "moviescope":
-        return max(1, batch // 8)
+    if preset == "moviescope" and batch > 8:
+        a = -(-batch // 8)                   # ceil(batch / 8)
+        while batch % a:
+            a += 1
+        return a
     if preset == "mmimdb" and batch >= 64:
         return 2
     return 1

@@ -53,10 +53,13 @@ def main():
     args = p.parse_args()
 
     import bench
-    bench.BATCH = args.batch
     if args.grad_accum is None:
-        args.grad_accum = bench.default_accum(args.preset, args.batch)
-    exp = bench.bench_config(args.preset)
+        # inference never accumulates: the serving forward runs the full
+        # batch in one dispatch (accum>1 would time a micro-batch while
+        # reporting full-batch throughput)
+        args.grad_accum = (1 if args.infer
+                           else bench.default_accum(args.preset, args.batch))
+    exp = bench.bench_config(args.preset, args.batch)
     over = {}
     for key in ("attention_impl", "bert_attention_impl"):
         if getattr(args, key) is not None:
@@ -107,9 +110,10 @@ def main():
         for _ in range(args.steps):
             t0 = time.perf_counter()
             out = fwd(params, *inputs)
-            # fetch a scalar: the axon tunnel's async dispatch makes
-            # block_until_ready alone unreliable (PERF.md)
-            float(out[0, 0]) if hasattr(out, "shape") else None
+            # fetch a scalar from the first output leaf: the axon
+            # tunnel's async dispatch makes block_until_ready alone
+            # unreliable (PERF.md); tree.leaves covers tuple/dict heads
+            float(jax.tree.leaves(out)[0].reshape(-1)[0])
             times.append(time.perf_counter() - t0)
         p50 = sorted(times)[len(times) // 2]
         print(json.dumps({"p50_ms": round(p50 * 1000, 1),

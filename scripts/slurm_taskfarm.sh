@@ -3,7 +3,9 @@
 # (ref equivalent: the reference's `slurm` script driving MPI_Scheduler over
 # jobs_to_run.txt — each line is a full training command; SURVEY.md C25).
 #
-# Usage: sbatch scripts/slurm_taskfarm.sh jobs_to_run.txt
+# Usage: mkdir -p outputs && sbatch scripts/slurm_taskfarm.sh jobs_to_run.txt
+# (outputs/ must exist at submit time: slurmstepd opens the #SBATCH
+# --output path before the script body runs and does not create dirs.)
 #
 #SBATCH --job-name=bpx-taskfarm
 #SBATCH --output=outputs/slurm-%j.out
