@@ -268,6 +268,34 @@ def get_baseline(exp, remeasure: bool = False) -> float:
     return val
 
 
+def wait_for_device(deadline_s: float) -> bool:
+    """Block until the accelerator answers a tiny op, or the deadline passes.
+
+    The axon TPU tunnel has multi-hour relay outages (observed round 3);
+    without this guard a bench launched mid-outage hangs in dispatch and
+    records nothing.  The probe runs in a subprocess because the plugin
+    registration itself can hang at interpreter startup — an in-process
+    probe could block forever with no way to time it out.
+    """
+    import subprocess
+    probe = ("import jax, jax.numpy as jnp; "
+             "x = jnp.ones((128, 128)); (x @ x).block_until_ready()")
+    t0 = time.monotonic()
+    while True:
+        try:
+            if subprocess.run([sys.executable, "-c", probe], timeout=90,
+                              capture_output=True).returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() - t0 > deadline_s:
+            sys.stderr.write("device probe still failing at deadline; "
+                             "attempting the bench anyway\n")
+            return False
+        sys.stderr.write("device probe failed; retrying in 30 s...\n")
+        time.sleep(30)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--remeasure-baseline", action="store_true")
@@ -286,6 +314,7 @@ def main():
 
     if args.accum is None:
         args.accum = default_accum(args.preset, args.batch)
+    wait_for_device(float(os.environ.get("BPX_BENCH_DEVICE_WAIT_S", 1800)))
     exp = bench_config(args.preset, args.batch)
     tpu_sps, stats = measure_tpu(exp, args.batch, args.steps, args.accum)
     # the torch-CPU baseline model is moviescope-shaped only
