@@ -16,10 +16,14 @@ Two statically-selected regimes:
   blocks with analytic band skipping (key blocks entirely above the band are
   skipped — the causal-flash win generalised to the rectangular offset).
 
-backward: two kernels — dQ (grid over Q blocks) and dK/dV (grid over K
-blocks) — recomputing P from the saved logsumexp; fp32 accumulation, bf16
-matmul operands (the MXU multiplies bf16 natively; fp32 operands would
-force the slow decomposition).
+backward: when both T ranges fit single tiles (every reference config),
+ONE fused program recomputes P from the saved logsumexp once and emits
+dQ, dK and dV together (``_bwd_fused_kernel``; the split form recomputed
+the score matrix, exp, dropout hash and dO·V^T twice — the VPU work that
+dominates at short sequence lengths).  Longer shapes fall back to two
+kernels — dQ (grid over Q blocks) and dK/dV (grid over K blocks).
+fp32 accumulation, bf16 matmul operands everywhere (the MXU multiplies
+bf16 natively; fp32 operands would force the slow decomposition).
 
 **Fused dropout** (ref: multihead_attention.py:123): the keep mask is a
 stateless counter-based hash (murmur3 finalizer over the global
@@ -465,6 +469,76 @@ def _bwd_dkv_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
+def _bwd_fused_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, do_ref,
+                      lse_ref, o_ref, dq_ref, dk_ref, dv_ref, *,
+                      offset: int, masked: bool, full_kv: bool,
+                      rate: float, tk_p: int, xla_delta: bool):
+    """Single-pass fused backward: dq, dk AND dv from ONE score tile.
+
+    Usable whenever both T ranges fit single tiles (Tq <= MAX_BLOCK_Q and
+    Tk <= SINGLE_PASS_MAX_K — every reference config).  The split dq/dkv
+    kernels each recompute S = q k^T, the exp, the dropout hash and
+    dp = dO v^T; at these short sequence lengths the kernels are VPU-bound
+    on exactly that recomputed elementwise work, so fusing the two
+    programs halves it and reads q/k/v/dO from HBM once instead of twice.
+    """
+    b = pl.program_id(0)
+    kv_len = None if full_kv else kvl_ref[b]
+    q = q_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0, 0]
+    k_blk = k_ref[0]
+    v_blk = v_ref[0]
+    tq, _ = q.shape
+    tk = k_blk.shape[0]
+    if xla_delta:
+        delta = o_ref[0, 0]
+    else:
+        delta = jnp.sum(do.astype(jnp.float32)
+                        * o_ref[0].astype(jnp.float32), axis=1)
+    if rate > 0.0:
+        seed = seed_ref[0].astype(jnp.uint32)
+        inv_keep = jnp.float32(1.0 / (1.0 - rate))
+    if masked or not full_kv or rate > 0.0:
+        row = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+    else:
+        row = col = None
+    s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    _, ok = _score_mask(s, row, col, kv_len, offset, masked, full_kv)
+    p = jnp.exp(s - lse[:, None])
+    if ok is not None:
+        p = jnp.where(ok, p, 0.0)
+    dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    if rate > 0.0:
+        keep = _keep_mask(seed, b, row, col, tk_p, rate)
+        pd = jnp.where(keep, p * inv_keep, 0.0)
+        dp = jnp.where(keep, dp * inv_keep, 0.0)
+    else:
+        pd = p
+    dv = jax.lax.dot_general(pd.astype(do.dtype), do,
+                             (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = (p * (dp - delta[:, None])).astype(q.dtype)
+    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dq = jax.lax.dot_general(ds, k_blk, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _use_fused_bwd() -> bool:
+    """One fused single-pass backward program instead of split dq / dkv
+    kernels (see _bwd_fused_kernel).  Opt-out knob: BPX_FUSED_BWD=0
+    restores the two-kernel path."""
+    import os
+    return os.environ.get("BPX_FUSED_BWD", "1") != "0"
+
+
 def _use_xla_delta() -> bool:
     """delta = sum_d dO*O precomputed by one XLA fusion (reads dO+O once,
     writes (bh, 1, tq) fp32) and consumed by BOTH backward kernels, instead
@@ -497,6 +571,40 @@ def _bwd(masked, offset, rate, full_kv, res, g):
         o_arg = out
         dq_o_spec = pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0))
         dkv_o_spec = pl.BlockSpec((1, tq, d), lambda b, j: (b, 0, 0))
+
+    if blocks_q == 1 and blocks_k == 1 and _use_fused_bwd():
+        # both T ranges fit single tiles: one program computes dq+dk+dv
+        # from a single score/prob materialisation (_bwd_fused_kernel)
+        fused_o_spec = (pl.BlockSpec((1, 1, tq), lambda b: (b, 0, 0))
+                        if xla_delta
+                        else pl.BlockSpec((1, tq, d), lambda b: (b, 0, 0)))
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_bwd_fused_kernel, offset=offset,
+                              masked=masked, full_kv=full_kv, rate=rate,
+                              tk_p=tk, xla_delta=xla_delta),
+            grid=(bh,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, tq, d), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, tk, d), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, tk, d), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, tq, d), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, 1, tq), lambda b: (b, 0, 0)),
+                fused_o_spec,
+            ],
+            out_specs=[
+                pl.BlockSpec((1, tq, d), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, tk, d), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, tk, d), lambda b: (b, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+                jax.ShapeDtypeStruct((bh, tk, d), k.dtype),
+                jax.ShapeDtypeStruct((bh, tk, d), v.dtype),
+            ],
+            interpret=_interpret())(kvl, seed, q, k, v, g, lse, o_arg)
+        return dq, dk, dv, None, None
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, offset=offset, masked=masked,

@@ -174,3 +174,54 @@ def test_flash_dropout_seeds_differ():
                         dropout_seed=jnp.uint32(2))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(a2))
     assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-4
+
+
+# ---------------------------------------------------------------------------
+# fused single-pass backward vs split dq/dkv kernels
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("masked,rate", [(True, 0.0), (False, 0.0),
+                                         (True, 0.25)])
+def test_fused_bwd_matches_split(monkeypatch, masked, rate):
+    """The fused dq+dk+dv program (_bwd_fused_kernel) must reproduce the
+    split kernels' gradients bit-for-bit — same tiles, same op order per
+    output, only the score/prob materialisation is shared."""
+    B, H, D, Tq, Tk = 2, 2, 96, 200, 128   # ragged Tq exercises raw tiles
+    q, k, v = _mk(B, Tq, Tk, H, D, seed=11)
+
+    def loss(q, k, v):
+        out = flash_attention(
+            q, k, v, masked=masked, dropout_rate=rate,
+            dropout_seed=jnp.uint32(99) if rate else None)
+        return jnp.sum(out ** 2)
+
+    monkeypatch.setenv("BPX_FUSED_BWD", "1")
+    g_fused = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    monkeypatch.setenv("BPX_FUSED_BWD", "0")
+    g_split = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_fused, g_split, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6,
+                                   err_msg=f"d{name} mismatch")
+
+
+def test_long_shape_uses_split_path(monkeypatch):
+    """Shapes beyond the single-tile envelope must still route to the
+    tiled dq/dkv kernels even with the fused knob on (default)."""
+    monkeypatch.setenv("BPX_FUSED_BWD", "1")
+    B, H, D, Tq, Tk = 1, 1, 64, 640, 1280   # blocks_q>1, blocks_k>1
+    q, k, v = _mk(B, Tq, Tk, H, D, seed=12)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, masked=True) ** 2)
+
+    def loss_ref(q, k, v):
+        bias = offset_future_mask(Tq, Tk)
+        return jnp.sum(dot_product_attention(q, k, v, bias=bias) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=3e-4,
+                                   err_msg=f"d{name} mismatch")
