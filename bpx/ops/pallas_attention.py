@@ -533,10 +533,11 @@ def _bwd_fused_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, do_ref,
 
 def _use_fused_bwd() -> bool:
     """One fused single-pass backward program instead of split dq / dkv
-    kernels (see _bwd_fused_kernel).  Opt-out knob: BPX_FUSED_BWD=0
-    restores the two-kernel path."""
+    kernels (see _bwd_fused_kernel).  Opt-in (BPX_FUSED_BWD=1) until the
+    hardware A/B lands — the split path is the measured-801-ms config and
+    an unproven Mosaic compile must not be able to take down the bench."""
     import os
-    return os.environ.get("BPX_FUSED_BWD", "1") != "0"
+    return os.environ.get("BPX_FUSED_BWD", "0") != "0"
 
 
 def _use_xla_delta() -> bool:
