@@ -180,14 +180,17 @@ def test_flash_dropout_seeds_differ():
 # fused single-pass backward vs split dq/dkv kernels
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("masked,rate", [(True, 0.0), (False, 0.0),
-                                         (True, 0.25)])
-def test_fused_bwd_matches_split(monkeypatch, masked, rate):
+@pytest.mark.parametrize("masked,rate,xla_delta", [
+    (True, 0.0, "1"), (False, 0.0, "1"), (True, 0.25, "1"),
+    (True, 0.25, "0"),   # in-kernel dO·O delta branch of the fused kernel
+])
+def test_fused_bwd_matches_split(monkeypatch, masked, rate, xla_delta):
     """The fused dq+dk+dv program (_bwd_fused_kernel) must reproduce the
     split kernels' gradients bit-for-bit — same tiles, same op order per
     output, only the score/prob materialisation is shared."""
     B, H, D, Tq, Tk = 2, 2, 96, 200, 128   # ragged Tq exercises raw tiles
     q, k, v = _mk(B, Tq, Tk, H, D, seed=11)
+    monkeypatch.setenv("BPX_XLA_DELTA", xla_delta)
 
     def loss(q, k, v):
         out = flash_attention(
