@@ -228,3 +228,30 @@ def test_long_shape_uses_split_path(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-4, rtol=3e-4,
                                    err_msg=f"d{name} mismatch")
+
+
+@pytest.mark.parametrize("d", [25, 30])
+def test_flash_small_unaligned_head_dim(d):
+    """iemocap (head_dim 25) / cmu-mosei (30) shapes: D is consumed raw —
+    Mosaic pads VMEM lanes internally; values and gradients must match the
+    einsum path."""
+    B, H, Tq, Tk = 2, 3, 128, 128
+    q, k, v = _mk(B, Tq, Tk, H, d, seed=13)
+    bias = offset_future_mask(Tq, Tk)
+    want = dot_product_attention(q, k, v, bias=bias)
+    got = flash_attention(q, k, v, masked=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, masked=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(dot_product_attention(q, k, v, bias=bias) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=3e-4,
+                                   err_msg=f"d{name} mismatch")
