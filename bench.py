@@ -46,7 +46,7 @@ def default_accum(preset: str, batch: int) -> int:
         while batch % a:
             a += 1
         return a
-    if preset == "mmimdb" and batch >= 64:
+    if preset == "mmimdb" and batch >= 64 and batch % 2 == 0:
         return 2
     return 1
 
@@ -85,8 +85,42 @@ def _example_batch(exp, batch):
     return out
 
 
+def make_chained_step(train_step, k: int):
+    """Wrap an (unjitted) train step in a ``lax.scan`` over ``k`` optimizer
+    steps, so one dispatch (and one host round-trip) covers k real steps.
+
+    Rationale: the per-step protocol below charges every step the axon
+    tunnel's fixed ~29 ms round-trip, which production training does not
+    pay (it dispatches ahead and syncs rarely).  The chained form
+    amortizes the round-trip to 29/k ms and cannot be faked by async
+    dispatch: the returned scalar is the k-th step's loss plus a 0-weight
+    term read from the *final* params, so its value depends on all k
+    losses and the last optimizer update — fetching it forces real
+    execution of the whole chain.  Per-iteration dropout keys stay
+    distinct because the train step folds ``state.step`` into the rng.
+
+    The chained program is semantically k sequential steps but not
+    bitwise so: XLA fuses the scan body differently from the standalone
+    step, so per-step rounding differs at the ~1e-7 level
+    (tests/test_train.py::test_chained_step_matches_sequential pins the
+    semantics with SGD, where the difference stays at rounding scale).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def chained(state, batch, rng):
+        def body(st, _):
+            st, metrics = train_step(st, batch, rng)
+            return st, metrics["loss"]
+        state, losses = jax.lax.scan(body, state, None, length=k)
+        probe = jax.tree.leaves(state.params)[0].reshape(-1)[0]
+        return state, losses[-1] + 0.0 * probe.astype(jnp.float32)
+
+    return chained
+
+
 def measure_tpu(exp, batch_size: int, steps: int = BENCH_STEPS,
-                accum: int = 1):
+                accum: int = 1, chain: int = 0):
     import jax
     import jax.numpy as jnp
     from bpx.models import get_model
@@ -110,30 +144,45 @@ def measure_tpu(exp, batch_size: int, steps: int = BENCH_STEPS,
     tx = make_optimizer(1e-4)
     state = TrainState.create(params, tx)
     loss_fn = make_loss_fn(exp.data.task, exp.data.task_type, False)
-    step = jax.jit(make_train_step(model, exp.model.model, loss_fn, tx,
-                                   grad_accum=accum), donate_argnums=(0,))
+    inner = make_train_step(model, exp.model.model, loss_fn, tx,
+                            grad_accum=accum)
+    if chain:
+        step = jax.jit(make_chained_step(inner, chain), donate_argnums=(0,))
+    else:
+        step = jax.jit(inner, donate_argnums=(0,))
     # rbg: the TPU hardware PRNG for dropout masks (threefry measured ~20%
     # of the step on this model).
     rng = jax.random.key(0, impl="rbg")
 
+    def run_once():
+        nonlocal state
+        if chain:
+            state, loss = step(state, batch, rng)
+            float(loss)
+        else:
+            state, metrics = step(state, batch, rng)
+            float(metrics["loss"])
+
     # Per-step host sync: the axon tunnel's async dispatch makes
     # block-once-at-the-end measurements unreliable (observed reporting
-    # far below the compute floor), so fetch the loss every step.
+    # far below the compute floor), so fetch the loss every step.  With
+    # --chain k, each timed call is one dispatch covering k real steps
+    # (see make_chained_step) and times are reported per step.
     for _ in range(WARMUP_STEPS):
-        state, metrics = step(state, batch, rng)
-        float(metrics["loss"])
+        run_once()
 
     times = []
     for _ in range(steps):
         t0 = time.perf_counter()
-        state, metrics = step(state, batch, rng)
-        float(metrics["loss"])
-        times.append(time.perf_counter() - t0)
+        run_once()
+        times.append((time.perf_counter() - t0) / max(chain, 1))
     ms = sorted(t * 1000 for t in times)
     stats = {"p50_ms": round(ms[len(ms) // 2], 1),
              "p90_ms": round(ms[min(len(ms) - 1, int(len(ms) * 0.9))], 1),
              "min_ms": round(ms[0], 1),
              "steps": len(ms)}
+    if chain:
+        stats["chain"] = chain
     # full distribution to stderr so relay-congestion outliers are visible
     sys.stderr.write("step times (ms): " +
                      " ".join(f"{t*1000:.1f}" for t in times) + "\n")
@@ -310,13 +359,19 @@ def main():
                              "(default: keeps the preset inside its memory "
                              "envelope — micro-batch 8 for the remat-free "
                              "moviescope preset; see default_accum)")
+    parser.add_argument("--chain", type=int, default=0,
+                        help="run k optimizer steps per dispatch (lax.scan) "
+                             "so the tunnel round-trip amortizes to 29/k ms "
+                             "— the pipelined-execution throughput; 0 = "
+                             "per-step host sync (default)")
     args = parser.parse_args()
 
     if args.accum is None:
         args.accum = default_accum(args.preset, args.batch)
     wait_for_device(float(os.environ.get("BPX_BENCH_DEVICE_WAIT_S", 1800)))
     exp = bench_config(args.preset, args.batch)
-    tpu_sps, stats = measure_tpu(exp, args.batch, args.steps, args.accum)
+    tpu_sps, stats = measure_tpu(exp, args.batch, args.steps, args.accum,
+                                 chain=args.chain)
     # the torch-CPU baseline model is moviescope-shaped only
     if args.skip_baseline or args.preset != "moviescope":
         baseline = None

@@ -131,6 +131,11 @@ def get_args(parser: argparse.ArgumentParser):
     parser.add_argument("--mesh_fsdp", type=int, default=1)
     parser.add_argument("--mesh_tensor", type=int, default=1)
     parser.add_argument("--profile_dir", type=str, default=None)
+    parser.add_argument("--accum_dtype", type=str, default=None,
+                        choices=["bfloat16"],
+                        help="gradient-accumulation carry dtype (default "
+                             "fp32, exact; bfloat16 halves the carry's HBM "
+                             "traffic but rounds the micro-batch sum)")
     parser.add_argument("--scan_layers", action="store_true",
                         help="fold encoder depth into one lax.scan body "
                              "(compile-time win for deep configs)")
@@ -232,7 +237,7 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
         gradient_accumulation_steps=args.gradient_accumulation_steps,
         weight_classes=bool(args.weight_classes),
         just_test=args.just_test, output_gates=args.output_gates,
-        profile_dir=args.profile_dir,
+        profile_dir=args.profile_dir, accum_dtype=args.accum_dtype,
         mesh=MeshConfig(data=args.mesh_data, fsdp=args.mesh_fsdp,
                         tensor=args.mesh_tensor))
     return ExperimentConfig(model=model, data=data, train=train_cfg)

@@ -243,6 +243,11 @@ class TrainConfig:
     # right choice for dropout), "threefry" is JAX's default counter PRNG
     # (slower on TPU — measured ~35% of the moviescope step).
     rng_impl: str = "rbg"
+    # Gradient-accumulation carry dtype: None = fp32 (exact sum);
+    # "bfloat16" halves the carry's HBM read+write traffic (~17 ms/step
+    # bound at moviescope accum 8) but rounds each micro-batch's gradient
+    # sum — opt-in perf knob, never a default.
+    accum_dtype: Optional[str] = None
 
     mesh: MeshConfig = field(default_factory=MeshConfig)
 

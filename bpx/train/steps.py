@@ -80,9 +80,18 @@ def make_train_step(model, model_name: str, loss_fn: Callable,
                     grad_accum: int = 1,
                     freeze_bert: bool = False,
                     donate: bool = True,
-                    with_grad_norm: bool = False):
+                    with_grad_norm: bool = False,
+                    accum_dtype: Optional[str] = None):
     """Build the (unjitted) train step; wrap with jit/shardings via
-    :func:`jit_train_step`."""
+    :func:`jit_train_step`.
+
+    ``accum_dtype`` sets the dtype of the gradient-accumulation scan
+    carry (default fp32 — exact).  ``"bfloat16"`` halves the carry's
+    HBM read+write traffic (~1.8 GB/micro-step on the moviescope model,
+    ~17 ms/step bound at accum 8) at the cost of rounding each
+    micro-batch's gradient sum to 8 mantissa bits — an opt-in perf knob,
+    never a default, because it changes update numerics.
+    """
 
     def micro_loss(params, micro_batch, dropout_rng):
         inputs = model_inputs(model_name, micro_batch)
@@ -105,11 +114,14 @@ def make_train_step(model, model_name: str, loss_fn: Callable,
         else:
             from bpx.parallel.sharding import constrain_like_params
 
+            acc_dt = jnp.dtype(accum_dtype) if accum_dtype else jnp.float32
+
             def body(carry, inp):
                 grads_acc, loss_acc = carry
                 micro, key = inp
                 loss, grads = grad_fn(state.params, micro, key)
-                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                grads_acc = jax.tree.map(
+                    lambda a, g: a + g.astype(acc_dt), grads_acc, grads)
                 # keep the scan-carried accumulators on the param layout —
                 # XLA otherwise derives a permutation-inequivalent sharding
                 # and full-rematerializes every carry element per iteration
@@ -117,12 +129,13 @@ def make_train_step(model, model_name: str, loss_fn: Callable,
                 return (grads_acc, loss_acc + loss), None
 
             zero_grads = constrain_like_params(jax.tree.map(
-                lambda p: jnp.zeros(p.shape, jnp.float32), state.params))
+                lambda p: jnp.zeros(p.shape, acc_dt), state.params))
             (grads, loss_sum), _ = jax.lax.scan(
                 body, (zero_grads, jnp.zeros((), jnp.float32)),
                 (batch, keys))
             inv = 1.0 / grad_accum
-            grads = jax.tree.map(lambda g: g * inv, grads)
+            grads = jax.tree.map(
+                lambda g: g.astype(jnp.float32) * inv, grads)
             loss = loss_sum * inv
 
         mask = make_grad_mask(state.params, freeze_bert)

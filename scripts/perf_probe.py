@@ -50,13 +50,26 @@ def main():
     p.add_argument("--infer", action="store_true",
                    help="forward-only deterministic latency (serving "
                         "shape) instead of the train step")
+    p.add_argument("--accum_dtype", default=None, choices=["bfloat16"],
+                   help="gradient-accumulation carry dtype (opt-in bf16 "
+                        "carry: ~17 ms/step HBM bound at accum 8)")
+    p.add_argument("--chain", type=int, default=0,
+                   help="run k optimizer steps per dispatch (lax.scan) so "
+                        "the tunnel round-trip amortizes to 29/k ms — the "
+                        "pipelined-execution throughput; 0 = per-step sync")
     args = p.parse_args()
 
     import bench
+    if args.infer and (args.grad_accum or 1) != 1:
+        # accum>1 would time a micro-batch forward while reporting
+        # full-batch throughput (~A x inflated)
+        p.error("--infer times the full-batch forward; --grad_accum "
+                "does not apply (it would measure a micro-batch)")
+    if args.infer and args.chain:
+        p.error("--chain wraps the train step; not supported with --infer")
     if args.grad_accum is None:
         # inference never accumulates: the serving forward runs the full
-        # batch in one dispatch (accum>1 would time a micro-batch while
-        # reporting full-batch throughput)
+        # batch in one dispatch
         args.grad_accum = (1 if args.infer
                            else bench.default_accum(args.preset, args.batch))
     exp = bench.bench_config(args.preset, args.batch)
@@ -124,14 +137,27 @@ def main():
     tx = make_optimizer(1e-4)
     state = TrainState.create(params, tx)
     loss_fn = make_loss_fn(exp.data.task, exp.data.task_type, False)
-    step = jax.jit(make_train_step(model, exp.model.model, loss_fn, tx,
-                                   grad_accum=A), donate_argnums=(0,))
+    inner = make_train_step(model, exp.model.model, loss_fn, tx,
+                            grad_accum=A, accum_dtype=args.accum_dtype)
+    if args.chain:
+        step = jax.jit(bench.make_chained_step(inner, args.chain),
+                       donate_argnums=(0,))
+    else:
+        step = jax.jit(inner, donate_argnums=(0,))
     rng = jax.random.key(0, impl="rbg")
+
+    def run_once():
+        nonlocal state
+        if args.chain:
+            state, loss = step(state, batch, rng)
+            float(loss)
+        else:
+            state, metrics = step(state, batch, rng)
+            float(metrics["loss"])
 
     t_c = time.perf_counter()
     for _ in range(args.warmup):
-        state, metrics = step(state, batch, rng)
-        float(metrics["loss"])
+        run_once()
     sys.stderr.write(f"compile+warmup: {time.perf_counter()-t_c:.0f}s\n")
 
     if args.profile_dir:
@@ -140,17 +166,19 @@ def main():
     times = []
     for _ in range(args.steps):
         t0 = time.perf_counter()
-        state, metrics = step(state, batch, rng)
-        float(metrics["loss"])
-        times.append(time.perf_counter() - t0)
+        run_once()
+        times.append((time.perf_counter() - t0) / max(args.chain, 1))
 
     if args.profile_dir:
         jax.profiler.stop_trace()
 
     p50 = sorted(times)[len(times) // 2]
-    print(json.dumps({"p50_ms": round(p50 * 1000, 1),
-                      "samples_per_sec": round(args.batch / p50, 2),
-                      "overrides": over}))
+    out = {"p50_ms": round(p50 * 1000, 1),
+           "samples_per_sec": round(args.batch / p50, 2),
+           "overrides": over}
+    if args.chain:
+        out["chain"] = args.chain
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

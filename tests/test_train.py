@@ -201,6 +201,134 @@ def test_loss_decreases_on_synthetic(tmp_path):
     assert losses[-1] < losses[0] * 0.7, losses[::10]
 
 
+@pytest.mark.slow
+def test_chained_step_matches_sequential():
+    """bench.make_chained_step(k) must run k real optimizer steps with the
+    same semantics as k sequential train-step calls (same per-step dropout
+    keys via the step counter, same update math) — it is a measurement
+    tool, and any drift would mean the chained numbers time a different
+    program.  SGD is used because it is linear in the gradient: the scan
+    and standalone programs fuse (and so round) differently at the 1e-7
+    level, and Adam's m/sqrt(v) normalisation amplifies that to full
+    update scale on near-zero-gradient elements (measured: 2e-4 after 3
+    steps), which would test XLA's rounding, not the chain.  Also pins
+    that the returned scalar equals the k-th step's loss (the 0-weight
+    final-param probe term must not perturb it)."""
+    import dataclasses
+
+    import optax
+
+    import bench
+    from bpx.data.loaders import get_data_loaders
+    from bpx.train.loop import _example_batch, init_model_and_state
+    from bpx.train.state import TrainState
+    from bpx.train.steps import make_train_step
+
+    exp = get_preset("synthetic-tiny")
+    dcfg = dataclasses.replace(exp.data, batch_sz=4, synthetic_len=8)
+    train_loader, _, _, _ = get_data_loaders(dcfg, exp.model, seed=0)
+    loss_fn = make_loss_fn(dcfg.task, dcfg.task_type, False)
+    example = _example_batch(train_loader)
+    model, _, state0 = init_model_and_state(
+        exp.replace(data=dcfg), example, jax.random.PRNGKey(0))
+    tx = optax.sgd(1e-2)
+    state = TrainState.create(state0.params, tx)
+    inner = make_train_step(model, exp.model.model, loss_fn, tx,
+                            grad_accum=1)
+    batch = {k: jnp.asarray(v[None]) for k, v in example.items()
+             if k != "valid"}
+    rng = jax.random.PRNGKey(7)
+
+    step = jax.jit(inner)
+    seq_state, losses = state, []
+    for _ in range(3):
+        seq_state, m = step(seq_state, batch, rng)
+        losses.append(float(m["loss"]))
+
+    chained = jax.jit(bench.make_chained_step(inner, 3))
+    ch_state, final_loss = chained(state, batch, rng)
+
+    assert abs(float(final_loss) - losses[-1]) < 1e-5
+    # the model must actually have trained across the chain (3 distinct
+    # steps, not the same step replayed)
+    assert losses[-1] < losses[0]
+    assert int(ch_state.step) == int(seq_state.step) == 3
+    for a, b in zip(jax.tree.leaves(seq_state.params),
+                    jax.tree.leaves(ch_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_accum_bf16_carry_close_to_fp32():
+    """The opt-in bfloat16 accumulation carry (TrainConfig.accum_dtype)
+    must produce parameter updates close to the exact fp32 carry — it
+    rounds each micro-batch gradient sum to 8 mantissa bits, nothing
+    more."""
+    import dataclasses
+
+    from bpx.data.loaders import get_data_loaders
+    from bpx.train.loop import _example_batch, init_model_and_state
+    from bpx.train.steps import make_train_step
+
+    exp = get_preset("synthetic-tiny")
+    dcfg = dataclasses.replace(exp.data, batch_sz=4, synthetic_len=8)
+    train_loader, _, _, _ = get_data_loaders(dcfg, exp.model, seed=0)
+    loss_fn = make_loss_fn(dcfg.task, dcfg.task_type, False)
+    example = _example_batch(train_loader)
+    model, tx, state = init_model_and_state(
+        exp.replace(data=dcfg), example, jax.random.PRNGKey(0))
+    # (A=2, micro=2, ...) super-batch
+    batch = {k: jnp.asarray(v.reshape((2, 2) + v.shape[1:]))
+             for k, v in example.items() if k != "valid"}
+    rng = jax.random.PRNGKey(7)
+
+    outs = {}
+    for dt in (None, "bfloat16"):
+        step = jax.jit(make_train_step(model, exp.model.model, loss_fn, tx,
+                                       grad_accum=2, accum_dtype=dt))
+        new_state, m = step(state, batch, rng)
+        outs[dt] = (new_state, float(m["loss"]))
+
+    assert abs(outs[None][1] - outs["bfloat16"][1]) < 1e-5  # loss sums fp32
+    # updates (not raw params) must agree to bf16 rounding accuracy
+    diffs, mags = [], []
+    for p0, pa, pb in zip(jax.tree.leaves(state.params),
+                          jax.tree.leaves(outs[None][0].params),
+                          jax.tree.leaves(outs["bfloat16"][0].params)):
+        diffs.append(np.abs(np.asarray(pa) - np.asarray(pb)).mean())
+        mags.append(np.abs(np.asarray(pa) - np.asarray(p0)).mean())
+    assert np.mean(diffs) < 0.05 * max(np.mean(mags), 1e-12), \
+        (np.mean(diffs), np.mean(mags))
+
+
+def test_default_accum_divides_batch():
+    """bench.default_accum must return a divisor of the batch for every
+    preset (a non-divisor would trip measure_tpu's reshape assert only
+    AFTER the up-to-30-min device-wait gate) and keep the remat-free
+    moviescope preset inside its micro-batch <= 8 memory envelope."""
+    import bench
+
+    for preset in ("moviescope", "mmimdb", "iemocap", "cmu-mosei"):
+        for batch in (1, 2, 7, 12, 28, 63, 64, 65, 95, 96):
+            a = bench.default_accum(preset, batch)
+            assert batch % a == 0, (preset, batch, a)
+            if preset == "moviescope" and batch > 8:
+                assert batch // a <= 8, (batch, a)
+
+
+def test_env_flag_convention(monkeypatch):
+    from bpx.utils.env import env_flag
+
+    monkeypatch.delenv("BPX_TEST_KNOB", raising=False)
+    assert env_flag("BPX_TEST_KNOB", True) is True
+    assert env_flag("BPX_TEST_KNOB", False) is False
+    monkeypatch.setenv("BPX_TEST_KNOB", "0")
+    assert env_flag("BPX_TEST_KNOB", True) is False
+    monkeypatch.setenv("BPX_TEST_KNOB", "1")
+    assert env_flag("BPX_TEST_KNOB", False) is True
+
+
 def test_step_timer():
     from bpx.utils.profiling import StepTimer
     import time as _time
