@@ -27,6 +27,8 @@ from __future__ import annotations
 import functools
 import os
 import pickle
+import threading
+from collections import OrderedDict
 from typing import Dict, Optional
 
 import numpy as np
@@ -66,15 +68,30 @@ def _imdb_indices(path: str):
     return _load_pickle(path, encoding="ASCII")
 
 
-@functools.lru_cache(maxsize=2)
+_IMDB_H5_CACHE: "OrderedDict" = OrderedDict()
+_IMDB_H5_LOCK = threading.Lock()
+
+
 def _imdb_h5(path: str):
     """Keep the mmimdb HDF5 open across samples — open/parse/close per
     item was ~25k syscall cycles per epoch in the prefetch worker.  One
     handle per path; h5py serialises HDF5 calls under its global lock,
     so sharing the handle across loader threads is safe (just not
-    parallel)."""
+    parallel).  A hand-rolled LRU (not ``functools.lru_cache``) so
+    handles evicted by a sweep over many data roots are *closed*, not
+    leaked to GC with their HDF5 file descriptors still open."""
     import h5py
-    return h5py.File(path, "r")
+    with _IMDB_H5_LOCK:
+        f = _IMDB_H5_CACHE.get(path)
+        if f is not None and f.id.valid:
+            _IMDB_H5_CACHE.move_to_end(path)
+            return f
+        f = h5py.File(path, "r")
+        _IMDB_H5_CACHE[path] = f
+        while len(_IMDB_H5_CACHE) > 2:
+            _, old = _IMDB_H5_CACHE.popitem(last=False)
+            old.close()
+        return f
 
 
 class FeatureAdapter:

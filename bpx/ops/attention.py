@@ -102,8 +102,8 @@ def use_bhtd_layout() -> bool:
     emits (B, H, T, D) directly, so the kernel wrapper's (B*H, T, D) view is
     a free reshape instead of an HBM transpose (fwd q/k/v + bwd dq/dk/dv).
     Opt-out knob: BPX_QKV_BHTD=0."""
-    import os
-    return os.environ.get("BPX_QKV_BHTD", "1") != "0"
+    from bpx.utils.env import env_flag
+    return env_flag("BPX_QKV_BHTD", True)
 
 
 def use_out_bhtd() -> bool:
@@ -112,8 +112,8 @@ def use_out_bhtd() -> bool:
     transpose (and its dO mirror in backward).  Measured -7 ms on the
     moviescope bench (PERF.md round 3); parity pinned by
     test_layout_flags_match_default.  Opt-out knob: BPX_OUT_BHTD=0."""
-    import os
-    return os.environ.get("BPX_OUT_BHTD", "1") != "0"
+    from bpx.utils.env import env_flag
+    return env_flag("BPX_OUT_BHTD", True)
 
 
 def fused_projection_bhtd(x: jax.Array, kernels, biases, dtype,
@@ -141,6 +141,22 @@ def fused_projection_bhtd(x: jax.Array, kernels, biases, dtype,
                        for bb in biases])              # (S, H, D)
         y = y + b[:, None, :, None, :]
     return tuple(y[i] for i in range(S))
+
+
+def head_major_out_proj(out: jax.Array, wo: jax.Array, dtype) -> jax.Array:
+    """Output projection straight off the head-major (B, H, T, D) context:
+    ``einsum('bhtd,hde->bte')`` over the (H, D, E) view of ``wo`` — the
+    same contraction (and numerics) as reshape-to-(B, T, H*D) + matmul,
+    with no transpose pass.  Pins the row-parallel sharding on the head
+    axis of the weight view (mirrors the fused-projection pin; see
+    constrain_heads).  Shared by MultiheadAttention and BertLayer so the
+    sharding pin and contraction cannot diverge between the two stacks.
+    Bias add stays at the call site."""
+    from bpx.parallel.sharding import constrain_heads
+    H, D = out.shape[1], out.shape[3]
+    wo_v = constrain_heads(
+        wo.astype(dtype).reshape(H, D, wo.shape[-1]), head_axis=0)
+    return jnp.einsum("bhtd,hde->bte", out, wo_v)
 
 
 class MultiheadAttention(nn.Module):
@@ -246,15 +262,7 @@ class MultiheadAttention(nn.Module):
                 deterministic=deterministic)
         wo, bo = self.out_proj()
         if out_bhtd:
-            # contract (h, d) straight out of the head-major context —
-            # same contraction as reshape+matmul, no transpose pass.
-            # Pin the row-parallel sharding on the head axis of the view
-            # (mirrors the fused-projection pin; see constrain_heads).
-            from bpx.parallel.sharding import constrain_heads
-            wo_v = wo.astype(self.dtype).reshape(
-                self.num_heads, self.head_dim, self.embed_dim)
-            y = jnp.einsum("bhtd,hde->bte", out,
-                           constrain_heads(wo_v, head_axis=0))
+            y = head_major_out_proj(out, wo, self.dtype)
         else:
             y = out.reshape(B, Tq, self.embed_dim) @ wo.astype(self.dtype)
         if bo is not None:

@@ -126,12 +126,8 @@ class BertLayer(nn.Module):
         wo, bo = DenseParams(cfg.hidden_size, cfg.hidden_size,
                              name="attention_output")()
         if attn_out.ndim == 4:      # (B, H, T, D) head-major context
-            from bpx.parallel.sharding import constrain_heads
-            H, D = attn_out.shape[1], attn_out.shape[3]
-            wo_v = constrain_heads(   # row-parallel pin on the head axis
-                wo.astype(self.dtype).reshape(H, D, cfg.hidden_size),
-                head_axis=0)
-            attn_out = jnp.einsum("bhtd,hde->bte", attn_out, wo_v)
+            from bpx.ops.attention import head_major_out_proj
+            attn_out = head_major_out_proj(attn_out, wo, self.dtype)
         else:
             attn_out = attn_out @ wo.astype(self.dtype)
         attn_out = attn_out + bo.astype(self.dtype)
@@ -143,10 +139,10 @@ class BertLayer(nn.Module):
         # GELU form from config: "erf" matches HF numerics exactly; "tanh"
         # (the original google-research/bert approximation) avoids the
         # VPU-bound erf epilogue in the fc1 fusion (PERF.md round 3).
-        # BPX_TANH_GELU overrides either way for A/B probes.
-        import os
-        flag = os.environ.get("BPX_TANH_GELU")
-        approx = (cfg.gelu == "tanh") if flag is None else flag == "1"
+        # BPX_TANH_GELU overrides either way for A/B probes (unset ->
+        # config; "0" -> erf; else tanh — the uniform env_flag convention).
+        from bpx.utils.env import env_flag
+        approx = env_flag("BPX_TANH_GELU", cfg.gelu == "tanh")
         inter = jax.nn.gelu(inter, approximate=approx)
         out = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output")(inter)
         return LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,

@@ -51,8 +51,9 @@ def flash_attention_maybe(q: jax.Array, k: jax.Array, v: jax.Array,
     analytic band in the kernel); ``kv_lens`` (B,) int32 masks per-sample
     right-padding.  The einsum fallback converts ``kv_lens`` to an additive
     bias.  ``layout="bhtd"`` means inputs arrive head-major (B, H, T, D) —
-    see :func:`bpx.ops.pallas_attention.flash_attention`; the output is
-    (B, Tq, H, D) either way.
+    see :func:`bpx.ops.pallas_attention.flash_attention`.  The output
+    follows ``out_layout``: (B, Tq, H, D) for ``"bthd"`` (default),
+    head-major (B, H, Tq, D) for ``"bhtd"``.
     """
     from bpx.ops.attention import dot_product_attention
 

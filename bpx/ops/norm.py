@@ -38,11 +38,10 @@ def _interpret() -> bool:
 
 
 def _use_pallas_ln() -> bool:
-    import os
-    flag = os.environ.get("BPX_PALLAS_LN", "1")
-    if flag == "0":
+    from bpx.utils.env import env_flag
+    if not env_flag("BPX_PALLAS_LN", True):
         return False
-    if os.environ.get("BPX_FORCE_PALLAS", "") == "1":
+    if env_flag("BPX_FORCE_PALLAS", False):
         return True
     return jax.default_backend() == "tpu"
 
@@ -193,8 +192,8 @@ def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
     # wasted lanes made the kernel a measured net loss (iemocap preset
     # 2256 -> 2390 ms/step); XLA's fused formula handles those shapes
     # better.  BPX_FORCE_PALLAS=1 (tests) still exercises the kernel.
-    import os
-    aligned = e % 128 == 0 or os.environ.get("BPX_FORCE_PALLAS", "") == "1"
+    from bpx.utils.env import env_flag
+    aligned = e % 128 == 0 or env_flag("BPX_FORCE_PALLAS", False)
     if _use_pallas_ln() and aligned and n >= 8 and _pick_blk(n):
         y = _layer_norm(x.reshape(n, e), scale.astype(jnp.float32),
                         bias.astype(jnp.float32), float(eps), out_dtype)

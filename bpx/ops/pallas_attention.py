@@ -103,8 +103,8 @@ def _use_fast_hash() -> bool:
     """2-round mixer instead of the 3-round murmur3 finalizer (saves ~1/3 of
     the per-element integer ops in every dropout site).  Opt-out knob:
     BPX_FAST_HASH=0 restores the full finalizer."""
-    import os
-    return os.environ.get("BPX_FAST_HASH", "1") != "0"
+    from bpx.utils.env import env_flag
+    return env_flag("BPX_FAST_HASH", True)
 
 
 def _keep_mask(seed, bh, row, col, tk_p: int, rate: float):
@@ -536,8 +536,8 @@ def _use_fused_bwd() -> bool:
     kernels (see _bwd_fused_kernel).  Opt-in (BPX_FUSED_BWD=1) until the
     hardware A/B lands — the split path is the measured-801-ms config and
     an unproven Mosaic compile must not be able to take down the bench."""
-    import os
-    return os.environ.get("BPX_FUSED_BWD", "0") != "0"
+    from bpx.utils.env import env_flag
+    return env_flag("BPX_FUSED_BWD", False)
 
 
 def _use_xla_delta() -> bool:
@@ -545,8 +545,8 @@ def _use_xla_delta() -> bool:
     writes (bh, 1, tq) fp32) and consumed by BOTH backward kernels, instead
     of each kernel re-reading O and re-reducing it.  Opt-out knob:
     BPX_XLA_DELTA=0 restores the in-kernel computation."""
-    import os
-    return os.environ.get("BPX_XLA_DELTA", "1") != "0"
+    from bpx.utils.env import env_flag
+    return env_flag("BPX_XLA_DELTA", True)
 
 
 def _bwd(masked, offset, rate, full_kv, res, g):
