@@ -63,26 +63,8 @@ def bench_config(preset: str = "moviescope", batch: int = None):
 def _example_batch(exp, batch):
     """Synthetic batch shaped for the preset's model/task (any of the
     BASELINE.md configs, not just moviescope)."""
-    from bpx.train.steps import _INPUT_KEYS
-    mc, dc = exp.model, exp.data
-    rng = np.random.RandomState(0)
-    L = dc.max_seq_len
-    streams = {
-        "txt": rng.randint(1, mc.bert.vocab_size, (batch, L)).astype(np.int32),
-        "mask": np.ones((batch, L), np.int32),
-        "segment": np.zeros((batch, L), np.int32),
-        "video": rng.randn(batch, dc.video_len, mc.orig_d_v).astype(np.float32),
-        "audio": rng.randn(batch, dc.audio_raw_len, mc.orig_d_a).astype(np.float32),
-        "poster": rng.randn(batch, mc.orig_d_p).astype(np.float32),
-    }
-    out = {k: streams[k] for k in _INPUT_KEYS[mc.model]}
-    if dc.task == "cmu-mosi":
-        out["target"] = rng.randn(batch).astype(np.float32)
-    elif dc.task_type == "multilabel":
-        out["target"] = (rng.rand(batch, mc.n_classes) > 0.5).astype(np.float32)
-    else:
-        out["target"] = rng.randint(0, mc.n_classes, batch).astype(np.int32)
-    return out
+    from bpx.data.synthetic import example_batch
+    return example_batch(exp, batch)
 
 
 def make_chained_step(train_step, k: int):

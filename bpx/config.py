@@ -442,3 +442,31 @@ def get_preset(name: str) -> ExperimentConfig:
     if name not in PRESETS:
         raise KeyError(f"unknown preset {name!r}; available: {sorted(PRESETS)}")
     return PRESETS[name]()
+
+
+def config_from_dict(d: Dict) -> ExperimentConfig:
+    """Rebuild the typed config tree from a ``config.json`` snapshot
+    (:meth:`bpx.utils.checkpoint.CheckpointManager.save_config` writes
+    ``dataclasses.asdict``) — the run-dir side of the reference's
+    ``torch.save(args, 'args.pt')`` / ``torch.load`` pair
+    (ref: train.py:367).
+
+    Inverse of ``asdict`` up to JSON coercions: tuples come back as lists
+    (re-tupled where the field is typed as one) and unknown keys from
+    older/newer snapshots are ignored rather than raising, so run dirs
+    stay loadable across config-field additions.
+    """
+    def build(cls, sub: Dict):
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in sub.items() if k in names})
+
+    model_d = dict(d.get("model", {}))
+    model_d["bert"] = build(BertConfig, model_d.get("bert", {}))
+    train_d = dict(d.get("train", {}))
+    mesh_d = dict(train_d.get("mesh", {}))
+    if "axis_names" in mesh_d:
+        mesh_d["axis_names"] = tuple(mesh_d["axis_names"])
+    train_d["mesh"] = build(MeshConfig, mesh_d)
+    return ExperimentConfig(model=build(ModelConfig, model_d),
+                            data=build(DataConfig, d.get("data", {})),
+                            train=build(TrainConfig, train_d))

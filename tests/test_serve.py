@@ -41,3 +41,29 @@ def test_predictor_from_checkpoint(tmp_path):
 
     with pytest.raises(ValueError, match="exceeds"):
         pred({k: np.repeat(v, 2, axis=0) for k, v in batch.items()})
+
+    # warmup is AOT-only: compiles without executing
+    pred.warmup(batch)
+
+    # export round-trip: the StableHLO artifact (params baked in) must
+    # serve identically with no model code, config, or checkpoint
+    from bpx.serve import ExportedPredictor
+
+    path = str(tmp_path / "model.bpx")
+    blob = pred.export(batch, path)
+    assert len(blob) > 0
+    server = ExportedPredictor.load(path)
+    assert server.batch_size == exp.data.batch_sz
+    probs_x, gates_x = server(small, return_gates=True)
+    np.testing.assert_allclose(probs_x, probs3, atol=1e-6)
+    np.testing.assert_allclose(gates_x, gates3, atol=1e-6)
+
+    # export CLI: run-dir (config.json + orbax best) -> artifact, dataset
+    # absent on the exporting host (the example batch is synthesized)
+    from bpx.cli.export import main as export_main
+
+    out = export_main([f"{tmp_path}/srv", "--batch_size", "4"])
+    cli_server = ExportedPredictor.load(out)
+    assert cli_server.batch_size == 4
+    probs_c = cli_server({k: v[:2] for k, v in batch.items()})
+    np.testing.assert_allclose(probs_c, probs[:2], atol=1e-5)

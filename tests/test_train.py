@@ -302,6 +302,28 @@ def test_accum_bf16_carry_close_to_fp32():
         (np.mean(diffs), np.mean(mags))
 
 
+def test_config_json_round_trip():
+    """config_from_dict must invert the config.json snapshot that
+    CheckpointManager.save_config writes (the export CLI rebuilds the
+    model from it), for every preset, across the JSON tuple->list
+    coercion, and must ignore unknown keys from other config versions."""
+    import dataclasses
+    import json
+
+    from bpx.config import PRESETS, config_from_dict, get_preset
+
+    for name in PRESETS:
+        exp = get_preset(name)
+        snap = json.loads(json.dumps(dataclasses.asdict(exp), default=str))
+        assert config_from_dict(snap) == exp, name
+
+    snap = json.loads(json.dumps(
+        dataclasses.asdict(get_preset("synthetic-tiny")), default=str))
+    snap["train"]["retired_flag"] = True
+    snap["model"]["bert"]["future_field"] = 3
+    assert config_from_dict(snap) == get_preset("synthetic-tiny")
+
+
 def test_default_accum_divides_batch():
     """bench.default_accum must return a divisor of the batch for every
     preset (a non-divisor would trip measure_tpu's reshape assert only
