@@ -230,6 +230,68 @@ def test_long_shape_uses_split_path(monkeypatch):
                                    err_msg=f"d{name} mismatch")
 
 
+@pytest.mark.slow
+def test_flash_fuzz_random_shapes_and_knobs(monkeypatch):
+    """Seeded randomized sweep over (B, H, D, Tq, Tk) x mask mode x dropout
+    x backward-path knobs, forward AND gradients vs the einsum oracle.
+    The fixed-point tests pin the production shapes; this sweep covers the
+    corners between them (odd head dims, tiny T, extreme rectangles,
+    random per-sample kv lengths) under every backward-kernel combination.
+    Deterministic: one RandomState seed drives all trials."""
+    from bpx.ops.masks import key_padding_bias
+
+    rng = np.random.RandomState(20260818)
+    for t in range(8):
+        B = int(rng.choice([1, 2]))
+        H = int(rng.choice([1, 2]))
+        D = int(rng.choice([16, 25, 32, 48, 64, 80, 96]))
+        Tq = int(rng.choice([8, 33, 64, 100, 128, 200]))
+        Tk = int(rng.choice([8, 33, 64, 100, 128, 200, 256]))
+        mode = str(rng.choice(["band", "kv", "plain"]))
+        rate = float(rng.choice([0.0, 0.2])) if mode != "kv" else 0.0
+        monkeypatch.setenv("BPX_FUSED_BWD", str(rng.randint(2)))
+        monkeypatch.setenv("BPX_XLA_DELTA", str(rng.randint(2)))
+        label = (B, H, D, Tq, Tk, mode, rate)
+
+        q, k, v = _mk(B, Tq, Tk, H, D, seed=100 + t)
+        masked = mode == "band"
+        kv_lens = None
+        bias = offset_future_mask(Tq, Tk) if masked else None
+        if mode == "kv":
+            lens = rng.randint(1, Tk + 1, size=B).astype(np.int32)
+            kv_lens = jnp.asarray(lens)
+            mask01 = (jnp.arange(Tk)[None, :] < kv_lens[:, None])
+            bias = key_padding_bias(mask01.astype(jnp.int32))
+        # tk_p == Tk for every fuzzed shape (all Tk <= SINGLE_PASS_MAX_K)
+        seed_u = jnp.uint32(1000 + t) if rate else None
+        keep = (_materialized_keep(1000 + t, B, H, Tq, Tk, Tk, rate)
+                if rate else None)
+
+        def loss_flash(q, k, v):
+            out = flash_attention(q, k, v, masked=masked, kv_lens=kv_lens,
+                                  dropout_rate=rate, dropout_seed=seed_u)
+            return jnp.sum(out ** 2), out
+
+        def loss_ref(q, k, v):
+            if rate:
+                out = _dropout_reference(q, k, v, bias, keep, rate)
+            else:
+                out = dot_product_attention(q, k, v, bias=bias)
+            return jnp.sum(out ** 2), out
+
+        (_, o1), g1 = jax.value_and_grad(
+            loss_flash, argnums=(0, 1, 2), has_aux=True)(q, k, v)
+        (_, o2), g2 = jax.value_and_grad(
+            loss_ref, argnums=(0, 1, 2), has_aux=True)(q, k, v)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   atol=3e-5, rtol=3e-5,
+                                   err_msg=f"fwd mismatch {label}")
+        for a, b, name in zip(g1, g2, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-4, rtol=5e-4,
+                                       err_msg=f"d{name} mismatch {label}")
+
+
 @pytest.mark.parametrize("d", [25, 30])
 def test_flash_small_unaligned_head_dim(d):
     """iemocap (head_dim 25) / cmu-mosei (30) shapes: D is consumed raw —
