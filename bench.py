@@ -101,11 +101,35 @@ def make_chained_step(train_step, k: int):
     return chained
 
 
+def enable_compilation_cache():
+    """Persistent compiled-executable cache: a probe re-run at an already
+    compiled config skips the 10-15 min tunnel compile entirely (the
+    're-measure suspicious results' protocol in PERF.md becomes cheap).
+    Keyed on the full HLO + compile options, so any knob that changes the
+    program misses — correctness is never at stake.  Silent no-op if the
+    PJRT plugin can't serialize executables.  Opt-out: BPX_JAX_CACHE=0.
+    """
+    import jax
+
+    from bpx.utils.env import env_flag
+    if not env_flag("BPX_JAX_CACHE", True):
+        return
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("BPX_JAX_CACHE_DIR", "/tmp/bpx_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception as e:   # cache is an optimisation, never a failure
+        sys.stderr.write(f"compilation cache unavailable: {e}\n")
+
+
 def measure_tpu(exp, batch_size: int, steps: int = BENCH_STEPS,
                 accum: int = 1, chain: int = 0):
     import jax
     import jax.numpy as jnp
     from bpx.models import get_model
+
+    enable_compilation_cache()
     from bpx.train.losses import make_loss_fn
     from bpx.train.optim import make_optimizer
     from bpx.train.state import TrainState

@@ -94,6 +94,8 @@ def main():
 
     import jax
     import jax.numpy as jnp
+
+    bench.enable_compilation_cache()
     from bpx.models import get_model
     from bpx.train.losses import make_loss_fn
     from bpx.train.optim import make_optimizer
