@@ -124,7 +124,7 @@ def enable_compilation_cache():
 
 
 def measure_tpu(exp, batch_size: int, steps: int = BENCH_STEPS,
-                accum: int = 1, chain: int = 0):
+                accum: int = 1, chain: int = 0, progress=None):
     import jax
     import jax.numpy as jnp
     from bpx.models import get_model
@@ -174,14 +174,20 @@ def measure_tpu(exp, batch_size: int, steps: int = BENCH_STEPS,
     # far below the compute floor), so fetch the loss every step.  With
     # --chain k, each timed call is one dispatch covering k real steps
     # (see make_chained_step) and times are reported per step.
-    for _ in range(WARMUP_STEPS):
+    progress = progress or (lambda rec: None)
+    progress({"ev": "compile_start"})
+    for i in range(WARMUP_STEPS):
         run_once()
+        progress({"ev": "warmup_done"} if i == WARMUP_STEPS - 1
+                 else {"ev": f"warmup_{i}"})
 
     times = []
     for _ in range(steps):
         t0 = time.perf_counter()
         run_once()
-        times.append((time.perf_counter() - t0) / max(chain, 1))
+        dt = time.perf_counter() - t0
+        times.append(dt / max(chain, 1))
+        progress({"t": dt})
     ms = sorted(t * 1000 for t in times)
     stats = {"p50_ms": round(ms[len(ms) // 2], 1),
              "p90_ms": round(ms[min(len(ms) - 1, int(len(ms) * 0.9))], 1),
@@ -198,12 +204,22 @@ def measure_tpu(exp, batch_size: int, steps: int = BENCH_STEPS,
 
 
 def measure_torch_cpu_baseline(exp, batch: int = 2, steps: int = 2) -> float:
-    """FLOP-equivalent torch-CPU reference throughput (fwd+bwd+adam)."""
+    """FLOP-equivalent torch-CPU reference throughput (fwd+bwd+adam).
+
+    Parameterized by the preset's model shape (BASELINE.md north star is
+    per-chip >=5x *per config*): modality count (``use_poster``),
+    second-round type (mmtrvapt biprojection = extra self-attn sublayer,
+    mmtrvat = plain), audio front-end (conv encoder vs feature projection),
+    and the BERT->hidden projection when ``hidden_sz != bert.hidden_size``
+    (the mmtrvat configs run hidden 300 under a 768-wide BERT).
+    """
     import torch
     import torch.nn as nn
 
     mc, dc = exp.model, exp.data
     E, H, LYR = mc.hidden_sz, mc.num_heads, mc.layers
+    quad = bool(mc.use_poster)                 # 4-modal (v, a, p, text)
+    second_extra = mc.model == "mmtrvapt"      # biprojection second round
 
     class Enc(nn.Module):
         """One crossmodal encoder stack: per layer MHA + 4x FFN, pre-LN —
@@ -243,28 +259,37 @@ def measure_torch_cpu_baseline(exp, batch: int = 2, steps: int = 2) -> float:
                 batch_first=True, activation="gelu")
             self.embed = nn.Embedding(bcfg.vocab_size, bcfg.hidden_size)
             self.bert = nn.TransformerEncoder(bert_layer, bcfg.num_layers)
+            self.proj_l = (nn.Linear(bcfg.hidden_size, E, bias=False)
+                           if bcfg.hidden_size != E else None)
             self.audio = nn.Sequential(
                 nn.Conv1d(mc.orig_d_a, mc.orig_d_a, 128, stride=2),
                 nn.Conv1d(mc.orig_d_a, mc.orig_d_a, 128, stride=2),
-                nn.AdaptiveAvgPool1d(mc.num_vectors_a))
+                nn.AdaptiveAvgPool1d(mc.num_vectors_a)) \
+                if mc.use_audio_encoder else None
             self.proj_v = nn.Linear(mc.orig_d_v, E, bias=False)
             self.proj_a = nn.Linear(mc.orig_d_a, E, bias=False)
-            self.proj_p = nn.Linear(mc.orig_d_p, E, bias=False)
+            self.proj_p = (nn.Linear(mc.orig_d_p, E, bias=False)
+                           if quad else None)
             self.first = nn.ModuleList([Enc() for _ in range(6)])
-            self.second = nn.ModuleList([Enc(extra_attn=True)
+            self.second = nn.ModuleList([Enc(extra_attn=second_extra)
                                          for _ in range(6)])
             self.gmus = nn.ModuleList([
                 nn.Linear(2 * E, 3 * E, bias=False) for _ in range(6)])
-            self.final_gmu = nn.Linear(4 * E, 8 * E, bias=False)
+            n_fused = 4 if quad else 3
+            self.final_gmu = nn.Linear(n_fused * E, 2 * n_fused * E,
+                                       bias=False)
             self.head = nn.Sequential(nn.Linear(E, E), nn.ReLU(),
                                       nn.Linear(E, E))
             self.out = nn.Linear(E, mc.n_classes)
 
-        def forward(self, txt, video, audio, poster):
+        def forward(self, txt, video, audio, poster=None):
             l = self.bert(self.embed(txt))
+            if self.proj_l is not None:
+                l = self.proj_l(l)
             v = self.proj_v(video)
-            a = self.proj_a(self.audio(audio.transpose(1, 2)).transpose(1, 2))
-            p = self.proj_p(poster)
+            if self.audio is not None:
+                audio = self.audio(audio.transpose(1, 2)).transpose(1, 2)
+            a = self.proj_a(audio)
             pad = lambda x, n: torch.nn.functional.pad(
                 x, (0, 0, 0, n - x.shape[1]))
             l = pad(l, mc.num_vectors_l)
@@ -279,7 +304,9 @@ def measure_torch_cpu_baseline(exp, batch: int = 2, steps: int = 2) -> float:
             for i, s in enumerate(seconds[:6:2]):
                 g = self.gmus[i](torch.cat([s, seconds[2 * i + 1]], -1))
                 outs.append(g[..., :E][:, 0] + g[..., :E][:, -1])
-            fused = self.final_gmu(torch.cat(outs + [p], -1))[:, :E]
+            if self.proj_p is not None:
+                outs.append(self.proj_p(poster))
+            fused = self.final_gmu(torch.cat(outs, -1))[:, :E]
             return self.out(self.head(fused) + fused)
 
     torch.manual_seed(0)
@@ -291,8 +318,11 @@ def measure_torch_cpu_baseline(exp, batch: int = 2, steps: int = 2) -> float:
     txt = torch.tensor(b["txt"][:, :mc.num_vectors_l].astype(np.int64))
     video = torch.tensor(b["video"])
     audio = torch.tensor(b["audio"])
-    poster = torch.tensor(b["poster"])
-    tgt = torch.tensor(b["target"])
+    poster = torch.tensor(b["poster"]) if quad else None
+    tgt = torch.tensor(b["target"].astype(np.float32))
+    if tgt.ndim == 1:                       # regression task (cmu-mosi)
+        tgt = tgt[:, None].expand(-1, mc.n_classes)
+        crit = nn.L1Loss()
 
     # warmup
     loss = crit(model(txt, video, audio, poster), tgt)
@@ -310,23 +340,30 @@ def measure_torch_cpu_baseline(exp, batch: int = 2, steps: int = 2) -> float:
     return batch * steps / dt
 
 
-def get_baseline(exp, remeasure: bool = False) -> float:
-    if not remeasure and os.path.exists(BASELINE_CACHE):
+def get_baseline(exp, preset: str, remeasure: bool = False) -> float:
+    """Per-preset cached torch-CPU baseline (samples/s)."""
+    cache = {}
+    if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
-            return json.load(f)["samples_per_sec"]
-    sys.stderr.write("measuring torch-CPU baseline...\n")
+            cache = json.load(f)
+        if "samples_per_sec" in cache:   # migrate the round<=3 single-entry
+            cache = {"moviescope": {k: v for k, v in cache.items()}}
+    if not remeasure and preset in cache:
+        return cache[preset]["samples_per_sec"]
+    sys.stderr.write(f"measuring torch-CPU baseline ({preset})...\n")
     val = measure_torch_cpu_baseline(exp)
+    cache[preset] = {"samples_per_sec": val,
+                     "config": f"{preset}-flop-equivalent",
+                     "host_cpus": os.cpu_count()}
     with open(BASELINE_CACHE, "w") as f:
-        json.dump({"samples_per_sec": val,
-                   "config": "moviescope-4modal-flop-equivalent",
-                   "host_cpus": os.cpu_count()}, f, indent=2)
+        json.dump(cache, f, indent=2)
     return val
 
 
 def wait_for_device(deadline_s: float) -> bool:
     """Block until the accelerator answers a tiny op, or the deadline passes.
 
-    The axon TPU tunnel has multi-hour relay outages (observed round 3);
+    The axon TPU tunnel has multi-hour relay outages (observed rounds 3-4);
     without this guard a bench launched mid-outage hangs in dispatch and
     records nothing.  The probe runs in a subprocess because the plugin
     registration itself can hang at interpreter startup — an in-process
@@ -344,11 +381,150 @@ def wait_for_device(deadline_s: float) -> bool:
         except subprocess.TimeoutExpired:
             pass
         if time.monotonic() - t0 > deadline_s:
-            sys.stderr.write("device probe still failing at deadline; "
-                             "attempting the bench anyway\n")
+            sys.stderr.write("device probe still failing at deadline\n")
             return False
         sys.stderr.write("device probe failed; retrying in 30 s...\n")
         time.sleep(30)
+
+
+# --- outage-proof orchestration ------------------------------------------
+#
+# Round 3's driver artifact was rc=124 / parsed:null: the bench sat in the
+# probe loop until the driver's timeout SIGKILLed it with no JSON on stdout.
+# The contract now is *a structured JSON line exists on stdout no matter
+# what*:
+#   - device unreachable at deadline  -> {"value": null, "error":
+#     "device_unreachable", ...}
+#   - compile/step hang past budget   -> partial stats from the steps that
+#     DID complete ({"partial": true, "error": "measurement_timeout"}), via
+#     a progress file the measurement child streams step times into
+#   - driver SIGTERM at any phase     -> same, flushed from the signal
+#     handler before exit
+# The measurement runs in a child process (bench.py --_child) because a
+# hang inside a PJRT RPC never returns to the Python interpreter, so an
+# in-process watchdog could neither fire nor recover.
+
+_TERM_STATE = {"phase": "startup", "child": None, "progress": None,
+               "result": None, "t0": None}
+
+
+def _emit(result: dict) -> None:
+    print(json.dumps(result), flush=True)
+
+
+def _base_result(args) -> dict:
+    out = {"metric": "samples_per_sec_per_chip", "value": None,
+           "unit": "samples/s", "vs_baseline": None,
+           "preset": args.preset, "batch": args.batch}
+    if args.chain:
+        out["chain"] = args.chain
+    return out
+
+
+def _partial_from_progress(path: str, batch: int, chain: int) -> dict:
+    """Stats from whatever per-step times the child streamed out."""
+    times = []
+    events = []
+    try:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                if "t" in rec:
+                    times.append(rec["t"])
+                elif "ev" in rec:
+                    events.append(rec["ev"])
+    except OSError:
+        pass
+    out = {"events": events, "steps": len(times)}
+    if times:
+        per_step = [t / max(chain, 1) for t in times]
+        ms = sorted(t * 1000 for t in per_step)
+        out.update(p50_ms=round(ms[len(ms) // 2], 1), min_ms=round(ms[0], 1),
+                   value=round(batch / (ms[len(ms) // 2] / 1000.0), 2))
+    return out
+
+
+def _on_term(signum, frame):
+    """Driver timeout (SIGTERM) — flush an in-band result, then exit.
+
+    Uses os._exit: the main thread may be blocked inside subprocess.wait
+    and must not unwind through arbitrary frames from signal context.
+    """
+    st = _TERM_STATE
+    try:
+        if st["child"] is not None:
+            try:
+                st["child"].kill()
+            except Exception:
+                pass
+        result = st["result"] or {"metric": "samples_per_sec_per_chip",
+                                  "value": None, "unit": "samples/s",
+                                  "vs_baseline": None}
+        result["error"] = f"killed_by_signal_{signum}"
+        result["phase"] = st["phase"]
+        if st["t0"] is not None:
+            result["elapsed_s"] = round(time.monotonic() - st["t0"], 1)
+        if st["progress"]:
+            part = _partial_from_progress(
+                st["progress"], result.get("batch", BATCH),
+                result.get("chain", 0))
+            result["value"] = part.pop("value", None)
+            result["partial"] = True
+            result.update(part)
+        _emit(result)
+    finally:
+        os._exit(0)
+
+
+def _child_main(args) -> None:
+    """Measurement child: stream per-step times to the progress file, print
+    the stats dict as the last stdout line."""
+    def progress(rec):
+        with open(args._progress, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    progress({"ev": "child_start"})
+    exp = bench_config(args.preset, args.batch)
+    tpu_sps, stats = measure_tpu(exp, args.batch, args.steps, args.accum,
+                                 chain=args.chain, progress=progress)
+    print(json.dumps({"tpu_sps": tpu_sps, **stats}), flush=True)
+
+
+def run_measurement(args, budget_s: float):
+    """Run the measurement child under a wall-clock budget; return
+    (stats dict or None, error string or None)."""
+    import subprocess
+    import tempfile
+
+    fd, progress_path = tempfile.mkstemp(prefix="bpx_bench_", suffix=".jsonl")
+    os.close(fd)
+    _TERM_STATE["progress"] = progress_path
+    cmd = [sys.executable, os.path.abspath(__file__), "--_child",
+           "--_progress", progress_path,
+           "--preset", args.preset, "--batch", str(args.batch),
+           "--steps", str(args.steps), "--accum", str(args.accum),
+           "--chain", str(args.chain)]
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True)
+    _TERM_STATE["child"] = proc
+    try:
+        out, _ = proc.communicate(timeout=budget_s)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        out, _ = proc.communicate()
+        return None, "measurement_timeout"
+    finally:
+        _TERM_STATE["child"] = None
+    if proc.returncode != 0:
+        return None, f"measurement_failed_rc_{proc.returncode}"
+    for line in reversed(out.strip().splitlines()):
+        try:
+            return json.loads(line), None
+        except json.JSONDecodeError:
+            continue
+    return None, "no_measurement_output"
 
 
 def main():
@@ -370,30 +546,62 @@ def main():
                              "so the tunnel round-trip amortizes to 29/k ms "
                              "— the pipelined-execution throughput; 0 = "
                              "per-step host sync (default)")
+    parser.add_argument("--_child", action="store_true", dest="_child",
+                        help=argparse.SUPPRESS)
+    parser.add_argument("--_progress", dest="_progress",
+                        help=argparse.SUPPRESS)
     args = parser.parse_args()
 
     if args.accum is None:
         args.accum = default_accum(args.preset, args.batch)
-    wait_for_device(float(os.environ.get("BPX_BENCH_DEVICE_WAIT_S", 1800)))
-    exp = bench_config(args.preset, args.batch)
-    tpu_sps, stats = measure_tpu(exp, args.batch, args.steps, args.accum,
-                                 chain=args.chain)
-    # the torch-CPU baseline model is moviescope-shaped only
-    if args.skip_baseline or args.preset != "moviescope":
+    if args._child:
+        _child_main(args)
+        return
+
+    import signal
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+    _TERM_STATE["t0"] = time.monotonic()
+    result = _base_result(args)
+    _TERM_STATE["result"] = result
+
+    _TERM_STATE["phase"] = "device_wait"
+    wait_s = float(os.environ.get("BPX_BENCH_DEVICE_WAIT_S", 1500))
+    if not wait_for_device(wait_s):
+        result.update(error="device_unreachable", waited_s=round(wait_s))
+        _emit(result)
+        return
+
+    _TERM_STATE["phase"] = "measurement"
+    budget_s = float(os.environ.get("BPX_BENCH_MEASURE_S", 2700))
+    stats, err = run_measurement(args, budget_s)
+    if stats is None:
+        part = _partial_from_progress(_TERM_STATE["progress"], args.batch,
+                                      args.chain)
+        result["value"] = part.pop("value", None)
+        result.update(error=err, partial=True, **part)
+        _emit(result)
+        return
+    tpu_sps = stats.pop("tpu_sps")
+
+    _TERM_STATE["phase"] = "baseline"
+    # every BASELINE.md single-chip config gets a torch-CPU ratio; the
+    # multi-chip-by-design stress preset and the smoke preset don't
+    if args.skip_baseline or args.preset in ("stress", "synthetic-tiny"):
         baseline = None
     else:
         try:
-            baseline = get_baseline(exp, args.remeasure_baseline)
+            exp = bench_config(args.preset, args.batch)
+            baseline = get_baseline(exp, args.preset,
+                                    args.remeasure_baseline)
         except Exception as e:  # baseline failure must not kill the bench
             sys.stderr.write(f"baseline measurement failed: {e}\n")
             baseline = None
 
-    result = {"metric": "samples_per_sec_per_chip",
-              "value": round(tpu_sps, 2),
-              "unit": "samples/s",
-              "vs_baseline": round(tpu_sps / baseline, 2) if baseline else None,
-              "preset": args.preset, "batch": args.batch, **stats}
-    print(json.dumps(result))
+    result.update(value=round(tpu_sps, 2),
+                  vs_baseline=round(tpu_sps / baseline, 2) if baseline
+                  else None, **stats)
+    _emit(result)
 
 
 if __name__ == "__main__":
