@@ -57,7 +57,10 @@ def get_args(parser: argparse.ArgumentParser):
                         choices=["mmtrvat", "mmtrvapt",
                                  # notebook-era models (SURVEY.md C30)
                                  "mmtrvpa", "tmmtrvpa", "gmu", "gmu_bi",
-                                 "gmu_hier", "gmu_softmax"])
+                                 "gmu_hier", "gmu_softmax",
+                                 # text-only baseline (notebook 1 cell 54
+                                 # name "bert"; "bertclf" is an alias)
+                                 "bert", "bertclf"])
     parser.add_argument("--n_workers", type=int, default=4)
     parser.add_argument("--name", type=str, default="nameless")
     parser.add_argument("--visual", type=str, default="both",
@@ -146,7 +149,7 @@ def get_args(parser: argparse.ArgumentParser):
                              ">1 trades compile time for fewer stacked-carry "
                              "round-trips in the backward pass")
     parser.add_argument("--optimizer", type=str, default="adam",
-                        choices=["adam", "radam", "plain_radam"])
+                        choices=["adam", "adamw", "radam", "plain_radam"])
 
     # Reference flags accepted for drop-in compatibility; unused by the
     # registered BPMulT models in the reference too (ref: train.py:36-68 —

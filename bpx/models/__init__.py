@@ -10,7 +10,7 @@ from functools import partial
 
 from bpx.config import ModelConfig
 from bpx.models.bpmult import BPMulTVAPT, BPMulTVAT
-from bpx.models.legacy import (GMUBimodalClf, GMUClf, MulTGMUClf,
+from bpx.models.legacy import (BertClf, GMUBimodalClf, GMUClf, MulTGMUClf,
                                TranslatingMMTGMUClf)
 
 MODELS = {
@@ -28,6 +28,10 @@ MODELS = {
     # (cells 52/54, side-by-side runs cells 72-77)
     "gmu_hier": partial(GMUClf, gmu_variant="hierarchical"),
     "gmu_softmax": partial(GMUClf, gmu_variant="softmax"),
+    # text-only BERT baseline — the notebooks' comparison-table anchor row
+    # (notebook 1 cell 54 registers it as "bert"; both names accepted)
+    "bertclf": BertClf,
+    "bert": BertClf,
 }
 
 

@@ -312,3 +312,36 @@ class GMUBimodalClf(_BPMulTBase):
         if output_gates:
             return logits, z
         return logits
+
+
+class BertClf(_BPMulTBase):
+    """``bertclf`` — the text-only BERT baseline both demo notebooks anchor
+    their comparison tables on (ref: DEMO_BPMultimodal_Transformer.ipynb
+    cell 36 ``BertClf``, registered as ``"bert"`` in the cell-54 MODELS
+    dict; DEMO_GMUs cell 68 outputs).
+
+    Pooler output (tanh(W h[CLS])) -> one Dense to ``n_classes`` — exactly
+    the notebook graph.  Has no gates; with ``output_gates`` it returns a
+    width-0 gate array so the interpretability channel stays shape-stable.
+    """
+
+    config: ModelConfig
+
+    def setup(self):
+        cfg = self.config
+        dt = self._dtype()
+        remat_bert = cfg.remat if cfg.remat_bert is None else cfg.remat_bert
+        self.bert = BertEncoder(cfg.bert, dtype=dt, with_pooler=True,
+                                scan_layers=cfg.scan_layers, remat=remat_bert,
+                                attention_impl=(cfg.bert_attention_impl
+                                                or cfg.attention_impl),
+                                name="bert")
+        self.clf = nn.Dense(cfg.n_classes, dtype=dt, name="clf")
+
+    def __call__(self, txt, mask, segment,
+                 deterministic: bool = True, output_gates: bool = False):
+        _, pooled = self.bert(txt, mask, segment, deterministic=deterministic)
+        logits = self.clf(pooled)
+        if output_gates:
+            return logits, jnp.zeros((logits.shape[0], 0), logits.dtype)
+        return logits

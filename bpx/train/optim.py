@@ -29,6 +29,12 @@ def make_optimizer(lr: float,
     rate for the plateau scheduler."""
     if name == "adam":
         return optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+    if name == "adamw":
+        # the demo notebooks' optimizer (DEMO_BPMultimodal… cell 60:
+        # optim.AdamW(params, lr=args.lr) — torch defaults, so decoupled
+        # weight decay 0.01 applied to every parameter)
+        return optax.inject_hyperparams(optax.adamw)(
+            learning_rate=lr, weight_decay=0.01)
     if name == "radam":
         from bpx.train.radam import radam
         return radam(lr)

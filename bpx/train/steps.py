@@ -39,6 +39,8 @@ _INPUT_KEYS = {
     "gmu_bi": ("txt", "mask", "segment", "video"),
     "gmu_hier": ("txt", "mask", "segment", "video", "audio"),
     "gmu_softmax": ("txt", "mask", "segment", "video", "audio"),
+    "bertclf": ("txt", "mask", "segment"),
+    "bert": ("txt", "mask", "segment"),
 }
 
 

@@ -33,8 +33,11 @@ def main():
     args = parser.parse_args()
 
     suites = {
-        "generations": ["gmu", "tmmtrvpa", "mmtrvapt"],
-        "gmus": ["gmu_bi", "gmu", "gmu_hier", "gmu_softmax"],
+        # bertclf first: the text-only baseline is the anchor row of both
+        # notebooks' comparison tables (notebook 1 cell 63, notebook 2
+        # cell 68 outputs)
+        "generations": ["bertclf", "gmu", "tmmtrvpa", "mmtrvapt"],
+        "gmus": ["bertclf", "gmu_bi", "gmu", "gmu_hier", "gmu_softmax"],
     }
     results = {}
     base = get_preset("synthetic-tiny")

@@ -128,3 +128,33 @@ def test_radam_trains_quadratic():
             updates, state = opt.update(g, state, params)
             params = optax.apply_updates(params, updates)
         assert float(loss(params)) < 1e-2
+
+
+def test_bertclf_registry_forward():
+    """Text-only BERT baseline (notebook 1 cell 36 BertClf / cell 54 name
+    "bert") — the comparison tables' anchor row: pooler -> Dense."""
+    for name in ("bertclf", "bert"):
+        assert name in MODELS
+    cfg = _cfg(model="bertclf")
+    m = get_model(cfg)
+    txt, mask, seg, *_ = _batch(cfg)
+    variables = m.init({"params": jax.random.PRNGKey(0)}, txt, mask, seg)
+    logits = m.apply(variables, txt, mask, seg)
+    assert logits.shape == (2, cfg.n_classes)
+    assert np.isfinite(np.asarray(logits)).all()
+
+    # it really is pooler -> single Dense (the notebook graph)
+    from bpx.ops.bert import BertEncoder
+    bert = BertEncoder(cfg.bert, dtype=jnp.float32, with_pooler=True)
+    _, pooled = bert.apply({"params": variables["params"]["bert"]},
+                           txt, mask, seg)
+    p = variables["params"]["clf"]
+    expect = pooled @ p["kernel"] + p["bias"]
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(expect),
+                               rtol=1e-5, atol=1e-5)
+
+    # no gates: the interpretability channel stays shape-stable at width 0
+    logits2, gates = m.apply(variables, txt, mask, seg, output_gates=True)
+    np.testing.assert_allclose(np.asarray(logits2), np.asarray(logits),
+                               rtol=1e-6, atol=1e-6)
+    assert gates.shape == (2, 0)

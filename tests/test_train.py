@@ -362,3 +362,45 @@ def test_step_timer():
     assert len(t.times) == 4
     assert t.p50 >= 0.001 and t.p90 >= t.p50
     assert "samples/s" in t.summary(8)
+
+
+def test_adamw_matches_torch(rng):
+    """`--optimizer adamw` (the demo notebooks' optimizer, DEMO cell 60:
+    torch.optim.AdamW defaults) — lockstep parity on a tiny quadratic:
+    optax's decoupled decay -lr*(adam + wd*p) equals torch's
+    p*(1-lr*wd) - lr*adam."""
+    import optax
+    from bpx.train.optim import get_current_lr, make_optimizer, set_lr
+
+    lr = 3e-3
+    w0 = rng.randn(5, 3).astype(np.float32)
+    tgt = rng.randn(5, 3).astype(np.float32)
+
+    tx = make_optimizer(lr, "adamw")
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+    assert abs(get_current_lr(state) - lr) < 1e-9
+
+    w_t = torch.tensor(w0, requires_grad=True)
+    tgt_t = torch.tensor(tgt)
+    opt = torch.optim.AdamW([w_t], lr=lr)   # defaults: wd=0.01
+
+    @jax.jit
+    def step(params, state):
+        loss, g = jax.value_and_grad(
+            lambda p: jnp.sum((p["w"] - jnp.asarray(tgt)) ** 2))(params)
+        upd, state = tx.update(g, state, params)
+        return optax.apply_updates(params, upd), state, loss
+
+    for i in range(8):
+        if i == 5:   # the plateau scheduler path must work for adamw too
+            state = set_lr(state, lr * 0.5)
+            for grp in opt.param_groups:
+                grp["lr"] = lr * 0.5
+        params, state, _ = step(params, state)
+        opt.zero_grad()
+        torch.sum((w_t - tgt_t) ** 2).backward()
+        opt.step()
+
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               w_t.detach().numpy(), rtol=1e-5, atol=1e-6)
