@@ -305,3 +305,73 @@ def test_bhtd_attention_matches_unsharded_under_mesh():
                                        atol=2e-5, rtol=2e-5)
     finally:
         os.environ.pop("BPX_FORCE_PALLAS", None)
+
+
+@pytest.mark.slow
+def test_stress_mesh_topology_tiny():
+    """The dryrun_stress mesh (fsdp=4 x tensor=2, BASELINE.md config 5) on
+    the stress preset's model *structure* at tiny dims: one sharded train
+    step must match the single-device step numerically, not just produce a
+    finite loss (a wrong-but-finite sharding passes a finite-only check —
+    see bpx/parallel/sharding.py merged-group rationale).  Keeps the 2.21B
+    path's mesh/sharding logic continuously exercised (VERDICT r3 weak #7).
+    """
+    import dataclasses
+
+    import optax
+
+    from bpx.config import BertConfig, get_preset
+    from bpx.models import get_model
+    from bpx.train.losses import make_loss_fn
+    from bpx.train.state import TrainState
+    from bpx.train.steps import make_train_step, place_batch, place_state
+
+    exp = get_preset("stress")
+    mc = exp.model.replace(
+        hidden_sz=64, num_heads=8, layers=2,
+        orig_d_l=64, orig_d_v=48, orig_d_a=96, orig_d_p=40,
+        num_vectors_l=16, num_vectors_a=8, num_vectors_v=8,
+        bert=BertConfig.tiny(), attention_impl="xla",
+        compute_dtype="float32")
+    dc = dataclasses.replace(exp.data, max_seq_len=16, audio_raw_len=576,
+                             video_len=8)
+    model = get_model(mc)
+
+    B = 8
+    rng = np.random.RandomState(3)
+    L = dc.max_seq_len
+    batch = {
+        "txt": jnp.asarray(rng.randint(1, 100, (1, B, L)), jnp.int32),
+        "mask": jnp.ones((1, B, L), jnp.int32),
+        "segment": jnp.zeros((1, B, L), jnp.int32),
+        "video": jnp.asarray(rng.randn(1, B, dc.video_len, mc.orig_d_v)
+                             .astype(np.float32)),
+        "audio": jnp.asarray(rng.randn(1, B, dc.audio_raw_len, mc.orig_d_a)
+                             .astype(np.float32)),
+        "poster": jnp.asarray(rng.randn(1, B, mc.orig_d_p)
+                              .astype(np.float32)),
+        "target": jnp.asarray((rng.rand(1, B, mc.n_classes) > 0.5)
+                              .astype(np.float32)),
+    }
+    inputs = tuple(batch[k][0] for k in
+                   ("txt", "mask", "segment", "video", "audio", "poster"))
+    params = model.init({"params": jax.random.PRNGKey(1)}, *inputs)["params"]
+    tx = optax.inject_hyperparams(optax.sgd)(learning_rate=1e-2)
+    loss_fn = make_loss_fn("moviescope", "multilabel", False)
+    step = make_train_step(model, mc.model, loss_fn, tx, grad_accum=1,
+                           with_grad_norm=True)
+
+    state1 = TrainState.create(params, tx)
+    state1, m1 = jax.jit(step)(state1, batch, jax.random.PRNGKey(7))
+
+    mesh = make_mesh(MeshConfig(data=-1, fsdp=4, tensor=2))
+    assert dict(mesh.shape) == {"data": 1, "fsdp": 4, "tensor": 2}
+    state8 = place_state(TrainState.create(params, tx), mesh)
+    sharded_batch = place_batch(batch, mesh, has_accum_axis=True)
+    state8, m8 = jax.jit(step)(state8, sharded_batch, jax.random.PRNGKey(7))
+
+    assert np.isfinite(float(m8["grad_norm"]))
+    assert abs(float(m1["loss"]) - float(m8["loss"])) < 1e-5
+    for a, b in zip(jax.tree.leaves(state1.params),
+                    jax.tree.leaves(state8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
