@@ -138,12 +138,9 @@ class BertLayer(nn.Module):
                          name="intermediate")(hidden)
         # GELU form from config: "erf" matches HF numerics exactly; "tanh"
         # (the original google-research/bert approximation) avoids the
-        # VPU-bound erf epilogue in the fc1 fusion (PERF.md round 3).
-        # BPX_TANH_GELU overrides either way for A/B probes (unset ->
-        # config; "0" -> erf; else tanh — the uniform env_flag convention).
-        from bpx.utils.env import env_flag
-        approx = env_flag("BPX_TANH_GELU", cfg.gelu == "tanh")
-        inter = jax.nn.gelu(inter, approximate=approx)
+        # VPU-bound erf epilogue in the fc1 fusion (PERF.md round 3,
+        # -63 ms/step at the bench config; perf presets set it).
+        inter = jax.nn.gelu(inter, approximate=cfg.gelu == "tanh")
         out = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output")(inter)
         return LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                             name="output_norm")(hidden + dropout(out))

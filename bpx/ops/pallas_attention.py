@@ -99,25 +99,18 @@ def _round_up(x: int, m: int) -> int:
 # stateless dropout mask
 # ---------------------------------------------------------------------------
 
-def _use_fast_hash() -> bool:
-    """2-round mixer instead of the 3-round murmur3 finalizer (saves ~1/3 of
-    the per-element integer ops in every dropout site).  Opt-out knob:
-    BPX_FAST_HASH=0 restores the full finalizer."""
-    from bpx.utils.env import env_flag
-    return env_flag("BPX_FAST_HASH", True)
-
-
 def _keep_mask(seed, bh, row, col, tk_p: int, rate: float):
     """Bernoulli(1-rate) keep mask from a counter-based hash.
 
     ``row``/``col`` are int32 global coordinate grids; the global element
     index mixed with the seed goes through an avalanche mixer, so fwd and
     both bwd kernels regenerate the identical mask from
-    (seed, bh, row, col) alone.  Two statically-selected mixers: the
-    murmur3 finalizer (3 rounds) or a 2-round xorshift-multiply variant
-    (default — a Bernoulli threshold test needs no perfect avalanche,
-    only absence of visible lane/row correlation, which round-trips
-    through two multiplies fine).
+    (seed, bh, row, col) alone.  The mixer is a 2-round xorshift-multiply
+    variant of the murmur3 finalizer (saves ~1/3 of the per-element
+    integer ops in every dropout site) — a Bernoulli threshold test needs
+    no perfect avalanche, only absence of visible lane/row correlation,
+    which round-trips through two multiplies fine (uniformity pinned by
+    the dropout-rate statistics tests).
     """
     idx = (bh.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
            + row.astype(jnp.uint32) * jnp.uint32(tk_p)
@@ -126,9 +119,6 @@ def _keep_mask(seed, bh, row, col, tk_p: int, rate: float):
     x = x ^ (x >> 16)
     x = x * jnp.uint32(0x85EBCA6B)
     x = x ^ (x >> 13)
-    if not _use_fast_hash():
-        x = x * jnp.uint32(0xC2B2AE35)
-        x = x ^ (x >> 16)
     threshold = jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
     return x >= threshold
 
