@@ -330,9 +330,13 @@ def _iemocap() -> ExperimentConfig:
             hidden_sz=300, num_heads=12, layers=8,
             num_vectors_l=512, num_vectors_a=512, num_vectors_v=512,
             use_audio_encoder=False, use_poster=False,
-            # trimodal T=512 without remat OOMs at batch 64 (94 G needed);
-            # head_dim 25 stays on the einsum path
-            scan_layers=True, remat=True, bert=BertConfig(gelu="tanh"),
+            # trimodal T=512 without remat OOMs at batch 64 (94 G needed).
+            # Flash kernels at head_dim 25: 2211.5 -> 1384.0 ms/step
+            # (-37%, PERF.md round 4) — the T=512 einsum scores were the
+            # dominant HBM traffic, and Mosaic handles the unaligned head
+            # lanes far better than it handles unaligned LN rows.
+            scan_layers=True, remat=True, attention_impl="pallas",
+            bert=BertConfig(gelu="tanh"),
         ),
         data=DataConfig(task="iemocap", task_type="multilabel",
                         audio_raw_len=512, video_len=512),
@@ -348,8 +352,11 @@ def _cmu_mosei() -> ExperimentConfig:
             hidden_sz=300, num_heads=10, layers=8,
             num_vectors_l=512, num_vectors_a=512, num_vectors_v=512,
             use_audio_encoder=False, use_poster=False,
-            # same memory shape as iemocap: remat to fit batch 64
-            scan_layers=True, remat=True, bert=BertConfig(gelu="tanh"),
+            # same memory shape as iemocap: remat to fit batch 64.
+            # Flash kernels at head_dim 30: 1975.6 -> 1256.0 ms/step
+            # (-36%, PERF.md round 4)
+            scan_layers=True, remat=True, attention_impl="pallas",
+            bert=BertConfig(gelu="tanh"),
         ),
         data=DataConfig(task="cmu-mosei", task_type="multilabel",
                         audio_raw_len=512, video_len=512),
@@ -366,6 +373,9 @@ def _counseling() -> ExperimentConfig:
             hidden_sz=300, num_heads=10, layers=5,
             num_vectors_l=512, num_vectors_a=512, num_vectors_v=512,
             use_audio_encoder=False, use_poster=False,
+            # same head_dim 30 / T=512 shape that measured -36% on the
+            # flash kernels at the cmu-mosei preset (PERF.md round 4)
+            attention_impl="pallas",
         ),
         data=DataConfig(task="counseling", task_type="multilabel",
                         audio_raw_len=512, video_len=512),
@@ -381,6 +391,9 @@ def _cmu_mosi() -> ExperimentConfig:
             hidden_sz=300, num_heads=10, layers=5,
             num_vectors_l=512, num_vectors_a=512, num_vectors_v=512,
             use_audio_encoder=False, use_poster=False,
+            # same head_dim 30 / T=512 shape that measured -36% on the
+            # flash kernels at the cmu-mosei preset (PERF.md round 4)
+            attention_impl="pallas",
         ),
         data=DataConfig(task="cmu-mosi", task_type="classification",
                         audio_raw_len=512, video_len=512),

@@ -50,20 +50,12 @@ def _use_pallas_ln() -> bool:
 # kernels
 # ---------------------------------------------------------------------------
 
-def _ln_fwd_kernel(x_ref, s_ref, b_ref, y_ref, mu_ref, rs_ref, *, eps: float,
-                   true_e: int | None = None):
+def _ln_fwd_kernel(x_ref, s_ref, b_ref, y_ref, mu_ref, rs_ref, *, eps: float):
     x = x_ref[...].astype(jnp.float32)                  # (BLK, E)
-    e = true_e if true_e is not None else x.shape[1]
-    # padded variant (true_e < tile width): x is zero beyond true_e, so the
-    # sums are unaffected; only the centered square needs a lane mask (the
-    # pad columns center to -mu).
+    e = x.shape[1]
     mu = jnp.sum(x, axis=1) / e
     xc = x - mu[:, None]
-    sq = xc * xc
-    if true_e is not None:
-        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-        sq = jnp.where(lane < true_e, sq, 0.0)
-    var = jnp.sum(sq, axis=1) / e
+    var = jnp.sum(xc * xc, axis=1) / e
     rstd = jax.lax.rsqrt(var + eps)
     y = xc * rstd[:, None] * s_ref[...].astype(jnp.float32) \
         + b_ref[...].astype(jnp.float32)
@@ -75,8 +67,7 @@ def _ln_fwd_kernel(x_ref, s_ref, b_ref, y_ref, mu_ref, rs_ref, *, eps: float,
 
 
 def _ln_bwd_kernel(x_ref, s_ref, mu_ref, rs_ref, dy_ref,
-                   dx_ref, ds_ref, db_ref, ds_acc, db_acc, *,
-                   true_e: int | None = None):
+                   dx_ref, ds_ref, db_ref, ds_acc, db_acc):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -90,10 +81,7 @@ def _ln_bwd_kernel(x_ref, s_ref, mu_ref, rs_ref, dy_ref,
     rstd = rs_ref[:, 0]
     xhat = (x - mu[:, None]) * rstd[:, None]
     a = dy * s_ref[...].astype(jnp.float32)
-    # padded variant: dy (and scale) are zero beyond true_e, so a and every
-    # dy-weighted product already vanish on pad lanes — only the divisor
-    # changes.  dx on pad lanes is garbage; the wrapper slices it off.
-    e_div = true_e if true_e is not None else x.shape[1]
+    e_div = x.shape[1]
     m1 = jnp.sum(a, axis=1) / e_div
     m2 = jnp.sum(a * xhat, axis=1) / e_div
     dx = rstd[:, None] * (a - m1[:, None] - xhat * m2[:, None])
@@ -117,11 +105,11 @@ def _pick_blk(n: int) -> int:
     return 0
 
 
-def _ln_fwd(x2, scale, bias, eps: float, out_dtype, true_e=None):
+def _ln_fwd(x2, scale, bias, eps: float, out_dtype):
     n, e = x2.shape
     blk = _pick_blk(n)
     y, mu, rstd = pl.pallas_call(
-        functools.partial(_ln_fwd_kernel, eps=eps, true_e=true_e),
+        functools.partial(_ln_fwd_kernel, eps=eps),
         grid=(n // blk,),
         in_specs=[
             pl.BlockSpec((blk, e), lambda i: (i, 0)),
@@ -142,23 +130,23 @@ def _ln_fwd(x2, scale, bias, eps: float, out_dtype, true_e=None):
     return y, mu, rstd
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _layer_norm(x2, scale, bias, eps: float, out_dtype, true_e=None):
-    y, _, _ = _ln_fwd(x2, scale, bias, eps, out_dtype, true_e)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _layer_norm(x2, scale, bias, eps: float, out_dtype):
+    y, _, _ = _ln_fwd(x2, scale, bias, eps, out_dtype)
     return y
 
 
-def _layer_norm_fwd(x2, scale, bias, eps, out_dtype, true_e=None):
-    y, mu, rstd = _ln_fwd(x2, scale, bias, eps, out_dtype, true_e)
+def _layer_norm_fwd(x2, scale, bias, eps, out_dtype):
+    y, mu, rstd = _ln_fwd(x2, scale, bias, eps, out_dtype)
     return y, (x2, scale, mu, rstd)
 
 
-def _layer_norm_bwd(eps, out_dtype, true_e, res, dy):
+def _layer_norm_bwd(eps, out_dtype, res, dy):
     x2, scale, mu, rstd = res
     n, e = x2.shape
     blk = _pick_blk(n)
     dx, ds_p, db_p = pl.pallas_call(
-        functools.partial(_ln_bwd_kernel, true_e=true_e),
+        _ln_bwd_kernel,
         grid=(n // blk,),
         in_specs=[
             pl.BlockSpec((blk, e), lambda i: (i, 0)),
@@ -204,29 +192,18 @@ def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
     # Mosaic pads every VMEM tile to the next 128-lane multiple and the
     # wasted lanes made the kernel a measured net loss (iemocap preset
     # 2256 -> 2390 ms/step); XLA's fused formula handles those shapes
-    # better.  BPX_FORCE_PALLAS=1 (tests) still exercises the kernel.
-    # BPX_PAD_LN=1 probes the explicitly lane-padded variant instead:
-    # zero-pad to the next 128 multiple so Mosaic sees aligned tiles
-    # (clean vector loads/stores, no masked-edge lowering), with the true
-    # width threaded into the kernels for the row statistics.  The pad and
-    # slice are XLA copies at the kernel boundary — the A/B question is
-    # whether they cost less than Mosaic's unaligned-edge handling.
+    # better.  An explicitly lane-padded variant (zero-pad E to the next
+    # 128 multiple at the kernel boundary, true width threaded into the
+    # row statistics) lost every hardware A/B too — +184 ms on the einsum
+    # path, +143 ms on the flash path at the iemocap preset (PERF.md
+    # round 4) — and was deleted.  BPX_FORCE_PALLAS=1 (tests) still
+    # exercises the kernel on unaligned widths.
     from bpx.utils.env import env_flag
-    pad_ln = e % 128 != 0 and env_flag("BPX_PAD_LN", False)
-    aligned = e % 128 == 0 or (env_flag("BPX_FORCE_PALLAS", False)
-                               and not pad_ln)
-    if _use_pallas_ln() and n >= 8 and _pick_blk(n):
-        if aligned:
-            y = _layer_norm(x.reshape(n, e), scale.astype(jnp.float32),
-                            bias.astype(jnp.float32), float(eps), out_dtype)
-            return y.reshape(x.shape)
-        if pad_ln:
-            e_pad = -(-e // 128) * 128
-            x2 = jnp.pad(x.reshape(n, e), ((0, 0), (0, e_pad - e)))
-            sp = jnp.pad(scale.astype(jnp.float32), (0, e_pad - e))
-            bp = jnp.pad(bias.astype(jnp.float32), (0, e_pad - e))
-            y = _layer_norm(x2, sp, bp, float(eps), out_dtype, e)
-            return y[:, :e].reshape(x.shape)
+    aligned = e % 128 == 0 or env_flag("BPX_FORCE_PALLAS", False)
+    if _use_pallas_ln() and n >= 8 and _pick_blk(n) and aligned:
+        y = _layer_norm(x.reshape(n, e), scale.astype(jnp.float32),
+                        bias.astype(jnp.float32), float(eps), out_dtype)
+        return y.reshape(x.shape)
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     xc = xf - mu

@@ -152,6 +152,8 @@ def summarize(records, accum: int):
 _CHILD_CODE = """
 import json, sys
 sys.path.insert(0, {root!r})
+import bench
+bench.enable_compilation_cache()  # CPU compiles are minutes on 1 core
 import scripts.collective_report as cr
 print("BPX_COLLECTIVES " + json.dumps(
     cr.compile_and_inventory({preset!r}, {batch}, {accum}, {data}, {fsdp},

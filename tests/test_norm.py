@@ -58,45 +58,6 @@ def test_layer_norm_grads_match_oracle(monkeypatch, rng):
                                    atol=3e-5, rtol=3e-5)
 
 
-def test_layer_norm_padded_variant_matches_torch(monkeypatch, rng):
-    """BPX_PAD_LN: explicit lane-padding to 384 for E=300 (iemocap width)
-    with true-width row statistics — fwd parity vs torch."""
-    monkeypatch.setenv("BPX_FORCE_PALLAS", "1")
-    monkeypatch.setenv("BPX_PAD_LN", "1")
-    x = rng.randn(2, 16, 300).astype(np.float32)
-    s = rng.rand(300).astype(np.float32) + 0.5
-    b = rng.randn(300).astype(np.float32)
-    got = layer_norm(jnp.asarray(x), jnp.asarray(s), jnp.asarray(b), 1e-5)
-    np.testing.assert_allclose(np.asarray(got), _torch_ln(x, s, b, 1e-5),
-                               atol=2e-5, rtol=2e-5)
-
-
-def test_layer_norm_padded_variant_grads(monkeypatch, rng):
-    monkeypatch.setenv("BPX_FORCE_PALLAS", "1")
-    monkeypatch.setenv("BPX_PAD_LN", "1")
-    N, E = 32, 300
-    x = jnp.asarray(rng.randn(N, E).astype(np.float32))
-    scale = jnp.asarray(rng.rand(E).astype(np.float32) + 0.5)
-    bias = jnp.asarray(rng.randn(E).astype(np.float32))
-    w = jnp.asarray(rng.randn(N, E).astype(np.float32))
-
-    def loss_pallas(x, s, b):
-        return jnp.sum(layer_norm(x, s, b, 1e-6) * w)
-
-    def loss_ref(x, s, b):
-        xf = x.astype(jnp.float32)
-        mu = jnp.mean(xf, -1, keepdims=True)
-        var = jnp.mean((xf - mu) ** 2, -1, keepdims=True)
-        y = (xf - mu) * jax.lax.rsqrt(var + 1e-6) * s + b
-        return jnp.sum(y * w)
-
-    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(x, scale, bias)
-    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, scale, bias)
-    for a, b_ in zip(g1, g2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
-                                   atol=3e-5, rtol=3e-5)
-
-
 def test_layer_norm_module_param_tree():
     """Same param names as nn.LayerNorm -> checkpoints stay compatible."""
     m = LayerNorm()
