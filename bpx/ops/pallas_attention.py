@@ -523,11 +523,15 @@ def _bwd_fused_kernel(kvl_ref, seed_ref, q_ref, k_ref, v_ref, do_ref,
 
 def _use_fused_bwd() -> bool:
     """One fused single-pass backward program instead of split dq / dkv
-    kernels (see _bwd_fused_kernel).  Opt-in (BPX_FUSED_BWD=1) until the
-    hardware A/B lands — the split path is the measured-801-ms config and
-    an unproven Mosaic compile must not be able to take down the bench."""
+    kernels (see _bwd_fused_kernel) wherever both T ranges fit single
+    tiles.  Default since the round-4 hardware A/B: -13.1 / -11.6 ms/step
+    across two independent control pairs at the moviescope bench config
+    (798.4 -> 785.3, 804.1 -> 792.5 — one score materialisation instead
+    of two).  BPX_FUSED_BWD=0 restores the split pair (kept: it is the
+    only backward for multi-tile shapes, and the knob anchors the
+    fused-vs-split parity test)."""
     from bpx.utils.env import env_flag
-    return env_flag("BPX_FUSED_BWD", False)
+    return env_flag("BPX_FUSED_BWD", True)
 
 
 def _use_xla_delta() -> bool:
