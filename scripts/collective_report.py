@@ -57,10 +57,20 @@ _GROUPS_RE = re.compile(r"replica_groups=\{\{([\d,]+)\}")
 _GROUPS_V2_RE = re.compile(r"replica_groups=\[(\d+),(\d+)\]")
 
 
-def _shape_bytes(shape_txt: str, largest_only: bool = False) -> int:
+def _shape_bytes(shape_txt: str, async_op: str = "") -> int:
     """Bytes of an HLO shape string; tuples sum their components.
-    ``largest_only`` takes the max component instead — async ``-start``
-    ops return an (operand, result) tuple that would double-count."""
+
+    ``async_op`` (the base op name of a ``-start`` instruction) selects
+    the tuple component per the op's async-shape semantics — the tuple is
+    ``(operand, result, …context)``, which would double-count if summed:
+    * ``reduce-scatter``: the per-shard RESULT (the smallest component —
+      the operand is the g× larger unscattered input; _ring_factor's
+      ``(g-1)`` factor assumes shard bytes, so taking the max would
+      overcount wire traffic ~g-fold);
+    * ``all-gather``: the gathered RESULT (the largest component);
+    * everything else (all-reduce, all-to-all, collective-permute):
+      operand == result size, so max is exact.
+    """
     sizes = []
     for dtype, dims in _SHAPE_RE.findall(shape_txt):
         if dtype not in _DTYPE_BYTES:
@@ -72,15 +82,34 @@ def _shape_bytes(shape_txt: str, largest_only: bool = False) -> int:
         sizes.append(n * _DTYPE_BYTES[dtype])
     if not sizes:
         return 0
-    return max(sizes) if largest_only else sum(sizes)
+    if not async_op:
+        return sum(sizes)
+    return min(sizes) if async_op == "reduce-scatter" else max(sizes)
 
 
-def inventory_from_hlo(hlo: str):
-    """Parse optimized HLO text into a list of collective records."""
+_WHILE_BODY_RE = re.compile(r"\bbody=%?([\w.-]+)")
+
+
+def inventory_from_hlo(hlo: str, world: int = 0):
+    """Parse optimized HLO text into a list of collective records.
+
+    ``world`` is the device count; an all-reduce-class collective with
+    ``replica_groups={}`` (HLO's "all devices in one group") is charged
+    at group = world rather than 0 (which would zero its wire bytes).
+    Loop-body attribution resolves the while instructions' ``body=``
+    operands (the reliable signal) plus the 'body'/'while' name
+    heuristic as a fallback for oddly-ordered HLO text.
+    """
+    # pass 1: computations named as a while body
+    while_bodies = set(_WHILE_BODY_RE.findall(hlo))
+
     records = []
     computation = ""
     for line in hlo.splitlines():
         stripped = line.strip()
+        if stripped == "}":
+            computation = ""   # closed: back to top level between defs
+            continue
         # computation headers look like: `%name (p: ...) -> ... {` or
         # `ENTRY %name ... {`
         if stripped.endswith("{") and ("(" in stripped) and \
@@ -102,13 +131,22 @@ def inventory_from_hlo(hlo: str):
             group = len(gm.group(1).split(","))
         else:
             gm2 = _GROUPS_V2_RE.search(stripped)
-            group = int(gm2.group(2)) if gm2 else 0
-        nbytes = _shape_bytes(shape_txt, largest_only=op.endswith("-start"))
+            if gm2:
+                group = int(gm2.group(2))
+            elif (op_base != "collective-permute" and
+                  "replica_groups={}" in stripped):
+                group = world      # empty groups = one group of all devices
+            else:
+                group = world if (op_base != "collective-permute" and
+                                  "replica_groups" not in stripped) else 0
+        nbytes = _shape_bytes(
+            shape_txt, async_op=op_base if op.endswith("-start") else "")
         records.append({
             "op": op_base,
             "bytes": nbytes,
             "group": group,
-            "in_loop_body": "body" in computation or "while" in computation,
+            "in_loop_body": (computation.lstrip("%") in while_bodies or
+                             "body" in computation or "while" in computation),
             "computation": computation,
         })
     return records
@@ -238,12 +276,28 @@ def compile_and_inventory(preset, batch, accum, data, fsdp, tensor):
     with jax.sharding.set_mesh(mesh):
         compiled = step.lower(state_in, batch_in, rng_in).compile()
     hlo = compiled.as_text()
-    records = inventory_from_hlo(hlo)
+    records = inventory_from_hlo(hlo, world=n)
     n_params = sum(int(np.prod(x.shape))
                    for x in jax.tree_util.tree_leaves(a_params))
+    # XLA's own per-device accounting for the SPMD-partitioned program:
+    # under GSPMD the compiled module is the per-chip program, so these
+    # argument/temp bytes are per-chip numbers (mem_report --mesh reads
+    # them; layouts/fusions are the CPU backend's, so temp bytes are an
+    # approximation of TPU HBM — argument bytes are partitioning facts)
+    memory = {}
+    try:
+        m = compiled.memory_analysis()
+        for field in ("argument_size_in_bytes", "output_size_in_bytes",
+                      "temp_size_in_bytes", "alias_size_in_bytes",
+                      "generated_code_size_in_bytes"):
+            val = getattr(m, field, None)
+            if val is not None:
+                memory[field] = int(val)
+    except Exception:
+        pass
     return {"records": records, "n_params": n_params,
             "mesh": {"data": data, "fsdp": fsdp, "tensor": tensor},
-            "accum": accum}
+            "accum": accum, "memory": memory}
 
 
 def run_child(preset, batch, accum, data, fsdp, tensor, timeout=3600):

@@ -43,6 +43,47 @@ def test_parser_ops_bytes_groups_loopbody():
     assert rs["bytes"] == 1000  # result (per-shard) shape
 
 
+_HLO_ASYNC = """
+HloModule jit_step
+
+%region_17.2033 (a: f32[8]) -> f32[8] {
+  %ar2 = f32[500]{0} all-reduce(f32[500]{0} %g), replica_groups={{0,1},{2,3}}, to_apply=%add
+  ROOT %c = f32[8]{0} copy(%a)
+}
+
+ENTRY %main (p0: f32[8]) -> f32[8] {
+  %rss = (f32[1000]{0}, f32[250]{0}) reduce-scatter-start(f32[1000]{0} %g2), replica_groups={{0,1,2,3}}, dimensions={0}
+  %rsd = f32[250]{0} reduce-scatter-done(%rss)
+  %arw = f32[100]{0} all-reduce(f32[100]{0} %g3), replica_groups={}, to_apply=%add
+  %w = (f32[8]{0}) while((f32[8]{0}) %t), condition=%cond.9, body=%region_17.2033
+  ROOT %r = f32[8]{0} copy(%p0)
+}
+"""
+
+
+def test_parser_async_start_semantics_and_body_resolution():
+    """ADVICE round-4 items: async reduce-scatter-start must charge the
+    per-shard RESULT component (not the max = full operand, which
+    _ring_factor's (g-1) would blow up ~g-fold); while bodies resolve
+    from the while instruction's body= operand even when the computation
+    name contains neither 'body' nor 'while'; replica_groups={} means
+    one group of all `world` devices, not group 0 (zero wire bytes)."""
+    recs = cr.inventory_from_hlo(_HLO_ASYNC, world=4)
+    by_op = {r["op"]: r for r in recs}
+    rs = by_op["reduce-scatter"]
+    assert rs["bytes"] == 250 * 4          # result shard, not the operand
+    assert rs["group"] == 4
+    ar2 = [r for r in recs if r["op"] == "all-reduce"
+           and r["computation"].lstrip("%") == "region_17.2033"]
+    assert ar2 and ar2[0]["in_loop_body"]  # resolved via body=%region_17.2033
+    arw = [r for r in recs if r["op"] == "all-reduce"
+           and not r["in_loop_body"]]
+    assert len(arw) == 1 and arw[0]["group"] == 4   # {} -> world
+    # summarize: the empty-groups all-reduce now carries real wire bytes
+    agg = cr.summarize(arw, accum=1)
+    assert agg["all-reduce"]["wire_bytes_per_chip"] == int(400 * 2 * 3 / 4)
+
+
 def test_summary_ring_math_and_accum_multiplier():
     recs = cr.inventory_from_hlo(_HLO)
     agg = cr.summarize(recs, accum=4)
