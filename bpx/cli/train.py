@@ -62,6 +62,11 @@ def get_args(parser: argparse.ArgumentParser):
                                  # name "bert"; "bertclf" is an alias)
                                  "bert", "bertclf"])
     parser.add_argument("--n_workers", type=int, default=4)
+    parser.add_argument("--feature_cache", type=int, default=1,
+                        help="precollated memmap cache next to the jsonl "
+                             "(bpx.data.cache); 0 = re-read per-sample "
+                             "feature files every epoch (e.g. read-only "
+                             "data dirs)")
     parser.add_argument("--name", type=str, default="nameless")
     parser.add_argument("--visual", type=str, default="both",
                         choices=["poster", "video", "both", "none"])
@@ -229,7 +234,7 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
         max_seq_len=args.max_seq_len, batch_sz=args.batch_sz,
         n_workers=args.n_workers, visual=args.visual,
         glove_path=args.glove_path, audio_raw_len=args.audio_raw_len,
-        video_len=args.video_len)
+        video_len=args.video_len, feature_cache=bool(args.feature_cache))
     train_cfg = TrainConfig(
         name=args.name, savedir=args.savedir, seed=args.seed,
         optimizer=args.optimizer,

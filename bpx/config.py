@@ -195,6 +195,14 @@ class DataConfig:
     # Static raw lengths fed to collate (audio frames pre-encoder, video frames).
     audio_raw_len: int = 928         # mel-spectrogram time frames (moviescope)
     video_len: int = 200
+    # Precollated memmap cache (bpx.data.cache): build collate-ready
+    # per-split arrays on first epoch, then assemble batches by memmap
+    # gather instead of re-unpickling per-sample feature files (the
+    # reference's answer was 12 worker processes per loader,
+    # helpers.py:187-194).  Measured on the data_bench fixture: the
+    # direct path cannot feed the chip from one core; the cache path
+    # exceeds demand >10x.  Disable for read-only data directories.
+    feature_cache: bool = True
     # Synthetic-data knobs (tests / benches).
     synthetic_len: int = 256
     synthetic_seed: int = 0
@@ -248,6 +256,13 @@ class TrainConfig:
     # bound at moviescope accum 8) but rounds each micro-batch's gradient
     # sum — opt-in perf knob, never a default.
     accum_dtype: Optional[str] = None
+    # Python-unroll the accumulation loop instead of lax.scan: no carry
+    # zero-init, no while-loop trip boundaries, XLA free to fuse the
+    # grad-accumulate adds into the backward and overlap micro-batch
+    # scheduling (the scan's inter-trip gaps measured ~129 ms of the
+    # 788 ms moviescope step — PERF.md round 4).  Costs ~A-fold compile
+    # time/HLO size for the accumulation region.
+    accum_unroll: bool = False
 
     mesh: MeshConfig = field(default_factory=MeshConfig)
 

@@ -68,7 +68,7 @@ class BatchIterator:
     def __init__(self, dataset, data_cfg: DataConfig, model_cfg: ModelConfig,
                  batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, seed: int = 0,
-                 prefetch: int = 2, n_workers: int = 0):
+                 prefetch: int = 2, n_workers: int = 0, store=None):
         self.dataset = dataset
         self.data_cfg = data_cfg
         self.model_cfg = model_cfg
@@ -82,6 +82,9 @@ class BatchIterator:
         # file IO so threads suffice on a TPU host)
         self.n_workers = n_workers
         self._pool = None
+        # precollated memmap store (bpx.data.cache): batches assemble by
+        # fancy-index gather instead of item loads + collate
+        self.store = store
         self.epoch = 0
 
     def _load_items(self, indices):
@@ -105,14 +108,19 @@ class BatchIterator:
             np.random.RandomState(self.seed + self.epoch).shuffle(idx)
         return idx
 
+    def _assemble(self, chunk) -> Dict[str, np.ndarray]:
+        if self.store is not None:
+            return self.store.gather(chunk)
+        items = self._load_items(chunk)
+        return collate(items, self.data_cfg, self.model_cfg)
+
     def _batches(self) -> Iterator[Dict[str, np.ndarray]]:
         idx = self._index_order()
         n_full = len(idx) // self.batch_size
         ends = n_full * self.batch_size
         for i in range(n_full):
             chunk = idx[i * self.batch_size:(i + 1) * self.batch_size]
-            items = self._load_items(chunk)
-            yield collate(items, self.data_cfg, self.model_cfg)
+            yield self._assemble(chunk)
         if not self.drop_last and ends < len(idx):
             # final partial batch padded to full size by wrapping (static
             # shapes); callers use `valid` to mask padded rows.
@@ -120,8 +128,7 @@ class BatchIterator:
             valid = len(chunk)
             while len(chunk) < self.batch_size:
                 chunk.append(idx[len(chunk) % max(ends, 1) if ends else 0])
-            items = self._load_items(chunk)
-            batch = collate(items, self.data_cfg, self.model_cfg)
+            batch = self._assemble(chunk)
             batch["valid"] = np.arange(self.batch_size) < valid
             yield batch
 
@@ -223,9 +230,26 @@ def get_data_loaders(data_cfg: DataConfig, model_cfg: ModelConfig,
             test = mk("test")
         meta.train_data_len = len(train)
 
+    def _store(ds, split):
+        # precollated memmap cache for jsonl splits (bpx.data.cache);
+        # cross-validation data_list subsets index differently and stay
+        # on the direct path
+        if (data_cfg.task == "synthetic" or not data_cfg.feature_cache
+                or getattr(ds, "data", None) is None
+                or data_all is not None):
+            return None
+        from bpx.data.cache import PrecollatedStore
+        import logging
+        log = logging.getLogger("bpx.data").info
+        return PrecollatedStore.build_or_load(
+            ds, os.path.join(data_cfg.data_path, data_cfg.task,
+                             f"{split}.jsonl"),
+            data_cfg, model_cfg, log=log)
+
     bs = data_cfg.batch_sz
-    it = lambda ds, shuffle, drop: BatchIterator(
+    it = lambda ds, shuffle, drop, split: BatchIterator(
         ds, data_cfg, model_cfg, bs, shuffle=shuffle, drop_last=drop,
-        seed=seed, prefetch=2, n_workers=data_cfg.n_workers)
-    return (it(train, True, True), it(dev, False, False),
-            it(test, False, False), meta)
+        seed=seed, prefetch=2, n_workers=data_cfg.n_workers,
+        store=_store(ds, split))
+    return (it(train, True, True, "train"), it(dev, False, False, "dev"),
+            it(test, False, False, "test"), meta)

@@ -164,6 +164,61 @@ def test_jsonl_dataset_moviescope_layout(tmp_path):
     assert b["target"].shape == (2, 2)
 
 
+def test_precollated_cache_matches_direct_path(tmp_path):
+    """The precollated memmap store (bpx.data.cache) must reproduce the
+    direct JsonlDataset -> collate batches bit-for-bit, across full and
+    wrap-padded partial batches, and must persist (second loader build
+    reuses the cache dir instead of rebuilding)."""
+    import dataclasses
+    import pickle
+    task_dir = tmp_path / "moviescope"
+    task_dir.mkdir()
+    for sub in ["200F_VGG16", "PosterFeatures", "Melspectrogram"]:
+        (task_dir / sub).mkdir()
+    rng = np.random.RandomState(1)
+    records = []
+    for sid in ["1", "2", "3", "4", "5"]:
+        records.append({"id": sid, "synopsis": f"movie {sid} plot words",
+                        "label": ["Drama"] if sid != "2"
+                        else ["Drama", "Action"]})
+        with open(task_dir / "200F_VGG16" / f"{sid}.p", "wb") as f:
+            pickle.dump(rng.randn(1, 16, 48).astype(np.float32), f)
+        with open(task_dir / "PosterFeatures" / f"{sid}.p", "wb") as f:
+            pickle.dump(rng.randn(1, 40).astype(np.float32), f)
+        with open(task_dir / "Melspectrogram" / f"{sid}.p", "wb") as f:
+            pickle.dump(rng.randn(96, 128).astype(np.float32), f)
+    for split in ["train", "dev", "test"]:
+        with open(task_dir / f"{split}.jsonl", "w") as f:
+            for r in records:
+                f.write(json.dumps(r) + "\n")
+
+    exp = get_preset("synthetic-tiny")
+    base = dataclasses.replace(exp.data, task="moviescope",
+                               data_path=str(tmp_path), batch_sz=2,
+                               audio_raw_len=128, video_len=16)
+    mcfg = exp.model.replace(orig_d_a=96, orig_d_v=48, orig_d_p=40)
+
+    loaders = {}
+    for cache in (False, True):
+        dcfg = dataclasses.replace(base, feature_cache=cache)
+        train, _, _, _ = get_data_loaders(dcfg, mcfg, seed=0)
+        loaders[cache] = train
+    assert loaders[True].store is not None
+    assert loaders[False].store is None
+    for b_direct, b_cached in zip(iter(loaders[False]),
+                                  iter(loaders[True])):
+        assert set(b_direct) == set(b_cached)
+        for k in b_direct:
+            np.testing.assert_array_equal(b_direct[k], b_cached[k], err_msg=k)
+
+    # second build reuses the on-disk cache (same digest dir)
+    cache_dirs = list((task_dir / ".bpx_cache").iterdir())
+    dcfg = dataclasses.replace(base, feature_cache=True)
+    train2, _, _, _ = get_data_loaders(dcfg, mcfg, seed=0)
+    assert train2.store is not None
+    assert sorted((task_dir / ".bpx_cache").iterdir()) == sorted(cache_dirs)
+
+
 def test_labels_and_frequencies(tmp_path):
     p = tmp_path / "train.jsonl"
     with open(p, "w") as f:
