@@ -151,7 +151,8 @@ def measure_tpu(exp, batch_size: int, steps: int = BENCH_STEPS,
     state = TrainState.create(params, tx)
     loss_fn = make_loss_fn(exp.data.task, exp.data.task_type, False)
     inner = make_train_step(model, exp.model.model, loss_fn, tx,
-                            grad_accum=accum)
+                            grad_accum=accum,
+                            accum_unroll=exp.train.accum_unroll)
     if chain:
         step = jax.jit(make_chained_step(inner, chain), donate_argnums=(0,))
     else:
@@ -527,13 +528,24 @@ def run_measurement(args, budget_s: float):
     return None, "no_measurement_output"
 
 
+# Single-chip presets measured by the default multi-preset run, headline
+# first so it always lands inside the measurement budget; the remaining
+# rows run at SWEEP_STEPS each (p50 over 10 steps matched the 30-step
+# bench to <1.5% across rounds 3-4 — PERF.md).
+SWEEP_PRESETS = ("moviescope", "mmimdb", "iemocap", "cmu-mosei",
+                 "counseling", "cmu-mosi")
+SWEEP_STEPS = 10
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--remeasure-baseline", action="store_true")
     parser.add_argument("--skip-baseline", action="store_true")
-    parser.add_argument("--preset", default="moviescope",
+    parser.add_argument("--preset", default=None,
                         help="any BASELINE.md config preset "
-                             "(moviescope|mmimdb|iemocap|cmu-mosei|...)")
+                             "(moviescope|mmimdb|iemocap|cmu-mosei|...); "
+                             "default: sweep every single-chip preset, "
+                             "one JSON line each, headline first")
     parser.add_argument("--batch", type=int, default=BATCH)
     parser.add_argument("--steps", type=int, default=BENCH_STEPS)
     parser.add_argument("--accum", type=int, default=None,
@@ -552,9 +564,9 @@ def main():
                         help=argparse.SUPPRESS)
     args = parser.parse_args()
 
-    if args.accum is None:
-        args.accum = default_accum(args.preset, args.batch)
     if args._child:
+        if args.accum is None:
+            args.accum = default_accum(args.preset, args.batch)
         _child_main(args)
         return
 
@@ -562,46 +574,67 @@ def main():
     signal.signal(signal.SIGTERM, _on_term)
     signal.signal(signal.SIGINT, _on_term)
     _TERM_STATE["t0"] = time.monotonic()
-    result = _base_result(args)
-    _TERM_STATE["result"] = result
+
+    # default run = preset sweep (one JSON line per preset, headline
+    # first); an explicit --preset narrows to that one
+    presets = [args.preset] if args.preset else list(SWEEP_PRESETS)
 
     _TERM_STATE["phase"] = "device_wait"
     wait_s = float(os.environ.get("BPX_BENCH_DEVICE_WAIT_S", 1500))
     if not wait_for_device(wait_s):
+        first = argparse.Namespace(**{**vars(args), "preset": presets[0],
+                                      "accum": 0})
+        result = _base_result(first)
         result.update(error="device_unreachable", waited_s=round(wait_s))
         _emit(result)
         return
 
-    _TERM_STATE["phase"] = "measurement"
-    budget_s = float(os.environ.get("BPX_BENCH_MEASURE_S", 2700))
-    stats, err = run_measurement(args, budget_s)
-    if stats is None:
-        part = _partial_from_progress(_TERM_STATE["progress"], args.batch,
-                                      args.chain)
-        result["value"] = part.pop("value", None)
-        result.update(error=err, partial=True, **part)
-        _emit(result)
-        return
-    tpu_sps = stats.pop("tpu_sps")
+    budget_total = float(os.environ.get("BPX_BENCH_MEASURE_S", 2700))
+    t_meas = time.monotonic()
+    for i, preset in enumerate(presets):
+        run = argparse.Namespace(**vars(args))
+        run.preset = preset
+        if i > 0:
+            run.steps = min(args.steps, SWEEP_STEPS)
+        if args.accum is None:
+            run.accum = default_accum(preset, args.batch)
+        remaining = budget_total - (time.monotonic() - t_meas)
+        if i > 0 and remaining < 120:
+            sys.stderr.write(f"budget exhausted before {preset}; "
+                             f"{remaining:.0f}s left\n")
+            break
 
-    _TERM_STATE["phase"] = "baseline"
-    # every BASELINE.md single-chip config gets a torch-CPU ratio; the
-    # multi-chip-by-design stress preset and the smoke preset don't
-    if args.skip_baseline or args.preset in ("stress", "synthetic-tiny"):
-        baseline = None
-    else:
-        try:
-            exp = bench_config(args.preset, args.batch)
-            baseline = get_baseline(exp, args.preset,
-                                    args.remeasure_baseline)
-        except Exception as e:  # baseline failure must not kill the bench
-            sys.stderr.write(f"baseline measurement failed: {e}\n")
+        result = _base_result(run)
+        _TERM_STATE["result"] = result
+        _TERM_STATE["phase"] = f"measurement:{preset}"
+        stats, err = run_measurement(run, remaining)
+        if stats is None:
+            part = _partial_from_progress(_TERM_STATE["progress"],
+                                          run.batch, run.chain)
+            result["value"] = part.pop("value", None)
+            result.update(error=err, partial=True, **part)
+            _emit(result)
+            continue
+        tpu_sps = stats.pop("tpu_sps")
+
+        _TERM_STATE["phase"] = f"baseline:{preset}"
+        # every BASELINE.md single-chip config gets a torch-CPU ratio; the
+        # multi-chip-by-design stress preset and the smoke preset don't
+        if args.skip_baseline or preset in ("stress", "synthetic-tiny"):
             baseline = None
+        else:
+            try:
+                exp = bench_config(preset, run.batch)
+                baseline = get_baseline(exp, preset,
+                                        args.remeasure_baseline)
+            except Exception as e:  # baseline failure must not kill it
+                sys.stderr.write(f"baseline measurement failed: {e}\n")
+                baseline = None
 
-    result.update(value=round(tpu_sps, 2),
-                  vs_baseline=round(tpu_sps / baseline, 2) if baseline
-                  else None, **stats)
-    _emit(result)
+        result.update(value=round(tpu_sps, 2),
+                      vs_baseline=round(tpu_sps / baseline, 2) if baseline
+                      else None, **stats)
+        _emit(result)
 
 
 if __name__ == "__main__":

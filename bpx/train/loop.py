@@ -168,7 +168,8 @@ def train(exp: ExperimentConfig, data_all=None,
     train_step = mesh_scoped(jax.jit(make_train_step(
         model, mcfg.model, loss_fn, tx, grad_accum=accum,
         freeze_bert=mcfg.freeze_bert,
-        accum_dtype=tcfg.accum_dtype), donate_argnums=(0,)), mesh)
+        accum_dtype=tcfg.accum_dtype,
+        accum_unroll=tcfg.accum_unroll), donate_argnums=(0,)), mesh)
     # no device-side loss output: evaluate() recomputes it host-side over
     # the valid-sliced concatenation (wrap-padded rows excluded)
     eval_step = mesh_scoped(

@@ -83,7 +83,8 @@ def make_train_step(model, model_name: str, loss_fn: Callable,
                     freeze_bert: bool = False,
                     donate: bool = True,
                     with_grad_norm: bool = False,
-                    accum_dtype: Optional[str] = None):
+                    accum_dtype: Optional[str] = None,
+                    accum_unroll: bool = False):
     """Build the (unjitted) train step; wrap with jit/shardings via
     :func:`jit_train_step`.
 
@@ -93,6 +94,17 @@ def make_train_step(model, model_name: str, loss_fn: Callable,
     ~17 ms/step bound at accum 8) at the cost of rounding each
     micro-batch's gradient sum to 8 mantissa bits — an opt-in perf knob,
     never a default, because it changes update numerics.
+
+    ``accum_unroll`` replaces the ``lax.scan`` over the accumulation axis
+    with a python-unrolled straight-line program: no zero-initialised
+    carry (the first micro-batch's gradients seed the accumulator — the
+    sum order is identical, since ``0 + g0 == g0`` exactly in IEEE), no
+    while-loop trip boundaries, and XLA is free to fuse each carry add
+    into the producing backward and overlap micro-batch scheduling.  The
+    accum-scan's inter-trip gaps measured ~129 ms of the 788 ms
+    moviescope step (PERF.md round-4 re-trace) — this is the probe for
+    that bucket.  Compile time and program size grow ~A-fold for the
+    accumulation region.
     """
 
     def micro_loss(params, micro_batch, dropout_rng):
@@ -113,6 +125,26 @@ def make_train_step(model, model_name: str, loss_fn: Callable,
         if grad_accum == 1:
             micro = jax.tree.map(lambda x: x[0], batch)
             loss, grads = grad_fn(state.params, micro, keys[0])
+        elif accum_unroll:
+            from bpx.parallel.sharding import constrain_like_params
+
+            acc_dt = jnp.dtype(accum_dtype) if accum_dtype else jnp.float32
+            loss, grads = grad_fn(state.params,
+                                  jax.tree.map(lambda x: x[0], batch),
+                                  keys[0])
+            grads = constrain_like_params(
+                jax.tree.map(lambda g: g.astype(acc_dt), grads))
+            for i in range(1, grad_accum):
+                li, gi = grad_fn(state.params,
+                                 jax.tree.map(lambda x: x[i], batch),
+                                 keys[i])
+                grads = constrain_like_params(jax.tree.map(
+                    lambda a, g: a + g.astype(acc_dt), grads, gi))
+                loss = loss + li
+            inv = 1.0 / grad_accum
+            grads = jax.tree.map(
+                lambda g: g.astype(jnp.float32) * inv, grads)
+            loss = loss * inv
         else:
             from bpx.parallel.sharding import constrain_like_params
 

@@ -56,7 +56,14 @@ def main():
     p.add_argument("--chain", type=int, default=0,
                    help="run k optimizer steps per dispatch (lax.scan) so "
                         "the tunnel round-trip amortizes to 29/k ms — the "
-                        "pipelined-execution throughput; 0 = per-step sync")
+                        "pipelined-execution throughput; 0 = per-step sync. "
+                        "With --infer: k forwards per dispatch, each "
+                        "data-dependent on the previous (true device "
+                        "latency, tunnel round-trip amortized)")
+    p.add_argument("--accum_unroll", type=int, default=None,
+                   help="python-unroll the gradient-accumulation loop "
+                        "instead of lax.scan (probes the accum-scan's "
+                        "~129 ms of inter-trip gaps; see steps.py)")
     args = p.parse_args()
 
     import bench
@@ -65,8 +72,6 @@ def main():
         # full-batch throughput (~A x inflated)
         p.error("--infer times the full-batch forward; --grad_accum "
                 "does not apply (it would measure a micro-batch)")
-    if args.infer and args.chain:
-        p.error("--chain wraps the train step; not supported with --infer")
     if args.grad_accum is None:
         # inference never accumulates: the serving forward runs the full
         # batch in one dispatch
@@ -116,6 +121,51 @@ def main():
     params = model.init({"params": jax.random.PRNGKey(0)}, *inputs)["params"]
 
     if args.infer:
+        if args.chain:
+            # k forwards per dispatch so the tunnel's fixed ~29 ms
+            # round-trip amortizes to 29/k ms — the true device serving
+            # latency.  Each iteration perturbs the first float input by
+            # probe*1e-12 of the previous iteration's output scalar, so
+            # the chain is data-dependent end-to-end: XLA cannot hoist
+            # the loop-invariant forward out of the scan or CSE the k
+            # copies, and fetching the last probe forces the whole chain.
+            # The 1e-12 perturbation is ~6 orders below fp32 ulp at
+            # feature scale — timing-identical, numerics-irrelevant.
+            k = args.chain
+
+            def chained(p, *xs):
+                flt = next(j for j, x in enumerate(xs)
+                           if jnp.issubdtype(x.dtype, jnp.floating))
+
+                def body(carry, _):
+                    xs2 = list(xs)
+                    xs2[flt] = xs2[flt] + carry.astype(xs2[flt].dtype) * 1e-12
+                    out = model.apply({"params": p}, *xs2,
+                                      deterministic=True)
+                    probe = jax.tree.leaves(out)[0].reshape(-1)[0]
+                    return probe.astype(jnp.float32), None
+
+                last, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                                       None, length=k)
+                return last
+
+            fwd_c = jax.jit(chained)
+            t_c = time.perf_counter()
+            for _ in range(args.warmup):
+                float(fwd_c(params, *inputs))
+            sys.stderr.write(
+                f"compile+warmup: {time.perf_counter()-t_c:.0f}s\n")
+            times = []
+            for _ in range(args.steps):
+                t0 = time.perf_counter()
+                float(fwd_c(params, *inputs))
+                times.append((time.perf_counter() - t0) / k)
+            p50 = sorted(times)[len(times) // 2]
+            print(json.dumps({"p50_ms": round(p50 * 1000, 2),
+                              "samples_per_sec": round(args.batch / p50, 2),
+                              "mode": "infer", "chain": k,
+                              "overrides": over}))
+            return
         fwd = jax.jit(lambda p, *xs: model.apply({"params": p}, *xs))
         t_c = time.perf_counter()
         for _ in range(args.warmup):
@@ -139,8 +189,11 @@ def main():
     tx = make_optimizer(1e-4)
     state = TrainState.create(params, tx)
     loss_fn = make_loss_fn(exp.data.task, exp.data.task_type, False)
+    if args.accum_unroll is not None:
+        over["accum_unroll"] = bool(args.accum_unroll)
     inner = make_train_step(model, exp.model.model, loss_fn, tx,
-                            grad_accum=A, accum_dtype=args.accum_dtype)
+                            grad_accum=A, accum_dtype=args.accum_dtype,
+                            accum_unroll=bool(args.accum_unroll))
     if args.chain:
         step = jax.jit(bench.make_chained_step(inner, args.chain),
                        donate_argnums=(0,))

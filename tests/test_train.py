@@ -302,6 +302,43 @@ def test_accum_bf16_carry_close_to_fp32():
         (np.mean(diffs), np.mean(mags))
 
 
+@pytest.mark.slow
+def test_accum_unroll_matches_scan():
+    """The python-unrolled accumulation (TrainConfig.accum_unroll) must
+    produce the same update as the lax.scan form: the gradient sum order
+    is identical (0 + g0 == g0 exactly), only XLA fusion boundaries
+    differ, so params must agree to fusion-rounding tolerance."""
+    import dataclasses
+
+    from bpx.data.loaders import get_data_loaders
+    from bpx.train.loop import _example_batch, init_model_and_state
+    from bpx.train.steps import make_train_step
+
+    exp = get_preset("synthetic-tiny")
+    dcfg = dataclasses.replace(exp.data, batch_sz=4, synthetic_len=8)
+    train_loader, _, _, _ = get_data_loaders(dcfg, exp.model, seed=0)
+    loss_fn = make_loss_fn(dcfg.task, dcfg.task_type, False)
+    example = _example_batch(train_loader)
+    model, tx, state = init_model_and_state(
+        exp.replace(data=dcfg), example, jax.random.PRNGKey(0))
+    batch = {k: jnp.asarray(v.reshape((2, 2) + v.shape[1:]))
+             for k, v in example.items() if k != "valid"}
+    rng = jax.random.PRNGKey(7)
+
+    outs = {}
+    for unroll in (False, True):
+        step = jax.jit(make_train_step(model, exp.model.model, loss_fn, tx,
+                                       grad_accum=2, accum_unroll=unroll))
+        new_state, m = step(state, batch, rng)
+        outs[unroll] = (new_state, float(m["loss"]))
+
+    assert abs(outs[False][1] - outs[True][1]) < 1e-5
+    for a, b in zip(jax.tree.leaves(outs[False][0].params),
+                    jax.tree.leaves(outs[True][0].params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_config_json_round_trip():
     """config_from_dict must invert the config.json snapshot that
     CheckpointManager.save_config writes (the export CLI rebuilds the
