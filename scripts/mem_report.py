@@ -11,6 +11,15 @@ seconds.
 Usage:
     python scripts/mem_report.py [--preset moviescope] [--batch 64]
         [--grad_accum A] [--remat 0/1] [--remat_bert 0/1]
+        [--mesh data,fsdp,tensor]
+
+With ``--mesh`` the step is SPMD-compiled on a virtual CPU mesh (a
+child process, like collective_report) and the report is the PER-CHIP
+memory analysis of the GSPMD-partitioned program — the evidence for
+"the stress config fits N chips".  Caveat printed in the record:
+argument bytes (params + optimizer state + batch shard per chip) are
+partitioning facts; temp bytes come from the CPU backend's layouts and
+approximate TPU HBM temps.
 """
 
 from __future__ import annotations
@@ -30,9 +39,36 @@ def main():
     p.add_argument("--grad_accum", type=int, default=None)
     p.add_argument("--remat", type=int, default=None)
     p.add_argument("--remat_bert", type=int, default=None)
+    p.add_argument("--mesh", default=None,
+                   help="data,fsdp,tensor — SPMD-compile on a virtual "
+                        "CPU mesh and report PER-CHIP memory")
     args = p.parse_args()
 
     import bench
+
+    if args.mesh:
+        import scripts.collective_report as cr
+        data, fsdp, tensor = (int(x) for x in args.mesh.split(","))
+        accum = (args.grad_accum if args.grad_accum is not None
+                 else bench.default_accum(args.preset, args.batch))
+        out = cr.run_child(args.preset, args.batch, accum, data, fsdp,
+                           tensor, timeout=7200)
+        gib = 1 << 30
+        rec = {"preset": args.preset, "batch": args.batch,
+               "grad_accum": accum, "per_chip": True,
+               "mesh": out["mesh"], "n_params": out["n_params"],
+               "note": ("GSPMD per-chip program on the virtual CPU mesh: "
+                        "argument bytes are partitioning facts; temp "
+                        "bytes are CPU-backend approximations of TPU "
+                        "HBM temps")}
+        for field, val in out.get("memory", {}).items():
+            rec[field.replace("_size_in_bytes", "_gib")] = round(val / gib,
+                                                                 3)
+        if all(k in rec for k in ("argument_gib", "temp_gib", "alias_gib")):
+            rec["peak_estimate_gib"] = round(
+                rec["argument_gib"] + rec["temp_gib"] - rec["alias_gib"], 3)
+        print(json.dumps(rec))
+        return
     if args.grad_accum is None:
         args.grad_accum = bench.default_accum(args.preset, args.batch)
     exp = bench.bench_config(args.preset, args.batch)

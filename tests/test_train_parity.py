@@ -23,6 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -218,3 +219,230 @@ def test_lockstep_training_parity():
     np.testing.assert_allclose(final_jax, final_torch, atol=5e-3, rtol=5e-3)
     # sanity: training actually moved the loss
     assert torch_losses[-1] < torch_losses[0]
+
+
+@pytest.mark.slow
+def test_long_horizon_loop_parity():
+    """Loop-level equivalence over a full tiny run: epochs until the
+    plateau scheduler fires AND early stopping triggers in both
+    frameworks.  The 5-step lockstep test above cannot pin the loop
+    semantics — the accumulation boundary (optimizer step every A
+    micro-batches, loss/A scaling; ref: train.py:390-398), the plateau
+    comparison mode (torch ReduceLROnPlateau 'rel' threshold on the
+    tuning metric; ref: train.py:128-136,408), and the patience
+    bookkeeping (>= improvement, break at patience; ref:
+    train.py:409-439).  The jax side uses the REAL loop components
+    exactly as bpx.train.loop.train wires them (make_train_step with
+    grad_accum, PlateauScheduler, EarlyStopping, tuning_metric, set_lr);
+    the torch side is the reference's loop shape with torch's actual
+    optim.lr_scheduler.ReduceLROnPlateau.
+
+    Event equivalence is asserted by REPLAY, not across frameworks:
+    once the val metric plateaus, whether epoch k counts as "bad" hangs
+    on ~1e-6 logit drift through a rank-based metric (AUC-PR), so
+    demanding the two training runs emit LR drops at identical epochs
+    is numerically ill-posed (measured: same stop epoch, 7/10 LR values
+    diverged).  Instead each run's OWN tuning-metric sequence is fed
+    through the OTHER side's scheduler + patience bookkeeping and the
+    resulting LR trajectory and stop epoch must match that run's
+    exactly — this pins the decision semantics (threshold mode,
+    comparison direction, patience counting, reduction timing) with no
+    float-equality trap.  The trajectories themselves are asserted to
+    tolerance, and both runs must fire a reduction and early-stop."""
+    from bpx.train.metrics import compute_metrics, tuning_metric
+    from bpx.train.optim import EarlyStopping, PlateauScheduler, set_lr
+    from bpx.train.steps import make_train_step
+
+    cfg = ModelConfig(
+        model="mmtrvat", n_classes=3,
+        orig_d_l=E, orig_d_v=11, orig_d_a=7,
+        hidden_sz=E, num_heads=H, layers=1,
+        num_vectors_l=12, num_vectors_a=12, num_vectors_v=12,
+        use_audio_encoder=False, use_poster=False, attn_mask=True,
+        # the torch oracle has no dropout; make_train_step trains with
+        # deterministic=False, so every rate must be zero for lockstep
+        attn_dropout=0.0, relu_dropout=0.0, res_dropout=0.0,
+        out_dropout=0.0, embed_dropout=0.0,
+        bert=BertConfig(vocab_size=200, hidden_size=E, num_layers=1,
+                        num_heads=2, intermediate_size=64,
+                        hidden_dropout=0.0, attention_dropout=0.0),
+        compute_dtype="float32")
+    model = get_model(cfg)
+    rng = np.random.RandomState(11)
+    B, L, ACCUM = 2, 12, 2
+    N_TRAIN, N_VAL = 8, 8
+    MAX_EPOCHS, STOP_PATIENCE, LR_PATIENCE = 40, 4, 1
+    lr0 = 5e-3
+
+    def mk(n):
+        return dict(
+            txt=rng.randint(1, 200, (n, L)),
+            mask=np.ones((n, L), np.int32),
+            seg=np.zeros((n, L), np.int32),
+            video=rng.randn(n, 12, cfg.orig_d_v).astype(np.float32),
+            audio=rng.randn(n, 12, cfg.orig_d_a).astype(np.float32),
+            tgt=(rng.rand(n, cfg.n_classes) > 0.5).astype(np.float32))
+
+    train_d, val_d = mk(N_TRAIN), mk(N_VAL)
+    keys = ("txt", "mask", "seg", "video", "audio")
+
+    def micro(d, i):  # i-th micro-batch of B
+        sl = slice(i * B, (i + 1) * B)
+        return tuple(d[k][sl] for k in keys), d["tgt"][sl]
+
+    n_micro = N_TRAIN // B
+    assert n_micro % ACCUM == 0
+
+    # ---- jax side: real loop components --------------------------------
+    batch0 = tuple(jnp.asarray(a) for a in
+                   tuple(train_d[k][:1] for k in keys))
+    params = model.init({"params": jax.random.PRNGKey(0)}, *batch0)["params"]
+    loss_fn = make_loss_fn("synthetic", "multilabel", False)
+    tx = make_optimizer(lr0)
+    from bpx.train.state import TrainState
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_train_step(model, cfg.model, loss_fn, tx,
+                                   grad_accum=ACCUM))
+    eval_fn = jax.jit(lambda p, *xs: model.apply({"params": p}, *xs))
+
+    # super-batches (A, B, ...) in fixed order, as loop.py _stack_accum does
+    supers = []
+    for s in range(n_micro // ACCUM):
+        group = [micro(train_d, s * ACCUM + a)[0] for a in range(ACCUM)]
+        tgts = [micro(train_d, s * ACCUM + a)[1] for a in range(ACCUM)]
+        sb = {k: jnp.asarray(np.stack([g[j] for g in group]))
+              for j, k in enumerate(
+                  ("txt", "mask", "segment", "video", "audio"))}
+        sb["target"] = jnp.asarray(np.stack(tgts))
+        supers.append(sb)
+    val_inputs = tuple(jnp.asarray(val_d[k]) for k in keys)
+
+    plateau = PlateauScheduler(lr=lr0, mode="max", factor=0.5,
+                               patience=LR_PATIENCE)
+    stopper = EarlyStopping(patience=STOP_PATIENCE, mode="max")
+    jrng = jax.random.PRNGKey(3)   # dropout rngs are dead (all rates 0)
+
+    jax_lrs, jax_losses, jax_tunes = [], [], []
+    jax_stop, jax_steps = None, 0
+    for epoch in range(MAX_EPOCHS):
+        ep = []
+        for sb in supers:
+            state, m = step(state, sb, jrng)
+            ep.append(float(m["loss"]))
+            jax_steps += 1
+        jax_losses.append(float(np.mean(ep)))
+        logits = np.asarray(eval_fn(state.params, *val_inputs))
+        metrics = compute_metrics("synthetic", "multilabel", logits,
+                                  val_d["tgt"], np.asarray([0.0]), None)
+        tune = tuning_metric("synthetic", "multilabel", metrics)
+        jax_tunes.append(float(tune))
+        new_lr = plateau.step(tune)
+        state = state.replace(opt_state=set_lr(state.opt_state, new_lr))
+        jax_lrs.append(new_lr)
+        stopper.update(tune)
+        if stopper.should_stop:
+            jax_stop = epoch
+            break
+
+    # ---- torch side: reference loop shape (train.py:382-439) -----------
+    p_t = _torchify(model.init({"params": jax.random.PRNGKey(0)},
+                               *batch0)["params"])
+    opt = torch.optim.Adam(_leaves(p_t), lr=lr0, betas=(0.9, 0.999),
+                           eps=1e-8)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="max", factor=0.5, patience=LR_PATIENCE)
+    best, n_no_improve = float("-inf"), 0
+    t_lrs, t_losses, t_tunes, t_stop, t_steps = [], [], [], None, 0
+    for epoch in range(MAX_EPOCHS):
+        ep = []
+        opt.zero_grad()
+        for i in range(n_micro):
+            xs, tg = micro(train_d, i)
+            logits = _vat_oracle_logits(p_t, cfg, *xs)
+            loss = F.binary_cross_entropy_with_logits(
+                logits, torch.tensor(tg)) / ACCUM
+            loss.backward()
+            ep.append(float(loss.detach()) * ACCUM)
+            if (i + 1) % ACCUM == 0:     # ref: train.py:396-398
+                opt.step()
+                opt.zero_grad()
+                t_steps += 1
+        t_losses.append(float(np.mean(ep)))
+        with torch.no_grad():
+            logits = _vat_oracle_logits(
+                p_t, cfg, *(tuple(val_d[k] for k in keys))).numpy()
+        metrics = compute_metrics("synthetic", "multilabel", logits,
+                                  val_d["tgt"], np.asarray([0.0]), None)
+        tune = tuning_metric("synthetic", "multilabel", metrics)
+        t_tunes.append(float(tune))
+        sched.step(tune)                  # ref: train.py:408
+        t_lrs.append(opt.param_groups[0]["lr"])
+        if tune >= best:                  # ref: train.py:409-430
+            best = tune
+            n_no_improve = 0
+        else:
+            n_no_improve += 1
+        if n_no_improve >= STOP_PATIENCE:   # ref: train.py:432-439
+            t_stop = epoch
+            break
+
+    # ---- event-semantics equivalence by replay ---------------------------
+    def torch_replay(tunes):
+        """The reference's decision stack (torch ReduceLROnPlateau +
+        train.py:409-439 bookkeeping) replayed over a metric sequence."""
+        dummy = torch.optim.Adam([torch.zeros(1, requires_grad=True)],
+                                 lr=lr0)
+        s = torch.optim.lr_scheduler.ReduceLROnPlateau(
+            dummy, mode="max", factor=0.5, patience=LR_PATIENCE)
+        best, bad = float("-inf"), 0
+        lrs, stop = [], None
+        for epoch, tune in enumerate(tunes):
+            s.step(tune)
+            lrs.append(dummy.param_groups[0]["lr"])
+            if tune >= best:
+                best, bad = tune, 0
+            else:
+                bad += 1
+            if bad >= STOP_PATIENCE:
+                stop = epoch
+                break
+        return lrs, stop
+
+    def bpx_replay(tunes):
+        """bpx's decision stack (PlateauScheduler + EarlyStopping) over a
+        metric sequence — exactly as loop.py:249-262 consumes them."""
+        pl = PlateauScheduler(lr=lr0, mode="max", factor=0.5,
+                              patience=LR_PATIENCE)
+        st = EarlyStopping(patience=STOP_PATIENCE, mode="max")
+        lrs, stop = [], None
+        for epoch, tune in enumerate(tunes):
+            lrs.append(pl.step(tune))
+            st.update(tune)
+            if st.should_stop:
+                stop = epoch
+                break
+        return lrs, stop
+
+    # the reference stack replayed over the jax run's own metrics must
+    # reproduce the jax loop's events exactly — and vice versa
+    ref_lrs, ref_stop = torch_replay(jax_tunes)
+    assert ref_lrs == jax_lrs, (ref_lrs, jax_lrs)
+    assert ref_stop == jax_stop, (ref_stop, jax_stop)
+    bpx_lrs, bpx_stop = bpx_replay(t_tunes)
+    assert bpx_lrs == t_lrs, (bpx_lrs, t_lrs)
+    assert bpx_stop == t_stop, (bpx_stop, t_stop)
+
+    # ---- trajectory equivalence ------------------------------------------
+    assert jax_stop is not None and t_stop is not None, \
+        (jax_stop, t_stop, "early stopping never fired; re-tune the test")
+    assert jax_steps // (jax_stop + 1) == t_steps // (t_stop + 1), \
+        "optimizer steps per epoch diverged (accumulation boundary)"
+    assert min(jax_lrs) < lr0 and min(t_lrs) < lr0, \
+        "plateau scheduler never fired"
+    assert abs(jax_stop - t_stop) <= 3, (jax_stop, t_stop)
+    # per-epoch loss trajectories track (drift grows with horizon)
+    np.testing.assert_allclose(jax_losses[:5], t_losses[:5], rtol=5e-3,
+                               atol=5e-4)
+    horizon = min(len(jax_losses), len(t_losses))
+    assert abs(jax_losses[horizon - 1] - t_losses[horizon - 1]) < 5e-2, \
+        (jax_losses[horizon - 1], t_losses[horizon - 1])
