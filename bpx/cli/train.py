@@ -144,6 +144,9 @@ def get_args(parser: argparse.ArgumentParser):
                         help="gradient-accumulation carry dtype (default "
                              "fp32, exact; bfloat16 halves the carry's HBM "
                              "traffic but rounds the micro-batch sum)")
+    parser.add_argument("--accum_scan_unroll", type=int, default=1,
+                        help="lax.scan unroll factor for the accumulation "
+                             "loop (k bodies per trip, sequential carry)")
     parser.add_argument("--scan_layers", action="store_true",
                         help="fold encoder depth into one lax.scan body "
                              "(compile-time win for deep configs)")
@@ -246,6 +249,7 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
         weight_classes=bool(args.weight_classes),
         just_test=args.just_test, output_gates=args.output_gates,
         profile_dir=args.profile_dir, accum_dtype=args.accum_dtype,
+        accum_scan_unroll=args.accum_scan_unroll,
         mesh=MeshConfig(data=args.mesh_data, fsdp=args.mesh_fsdp,
                         tensor=args.mesh_tensor))
     return ExperimentConfig(model=model, data=data, train=train_cfg)

@@ -263,6 +263,10 @@ class TrainConfig:
     # 788 ms moviescope step — PERF.md round 4).  Costs ~A-fold compile
     # time/HLO size for the accumulation region.
     accum_unroll: bool = False
+    # lax.scan unroll factor for the accumulation loop: sequential carry
+    # kept (bounded liveness — full accum_unroll OOMs, PERF.md round 5)
+    # but k bodies per loop trip, dividing trip-boundary overhead by k.
+    accum_scan_unroll: int = 1
 
     mesh: MeshConfig = field(default_factory=MeshConfig)
 
@@ -389,8 +393,11 @@ def _counseling() -> ExperimentConfig:
             num_vectors_l=512, num_vectors_a=512, num_vectors_v=512,
             use_audio_encoder=False, use_poster=False,
             # same head_dim 30 / T=512 shape that measured -36% on the
-            # flash kernels at the cmu-mosei preset (PERF.md round 4)
-            attention_impl="pallas",
+            # flash kernels at the cmu-mosei preset (PERF.md round 4);
+            # same memory shape too — without remat the trimodal T=512
+            # activations OOM one chip at batch 64 (29.5 G vs 15.75 G,
+            # measured round 5).
+            scan_layers=True, remat=True, attention_impl="pallas",
         ),
         data=DataConfig(task="counseling", task_type="multilabel",
                         audio_raw_len=512, video_len=512),
@@ -407,8 +414,10 @@ def _cmu_mosi() -> ExperimentConfig:
             num_vectors_l=512, num_vectors_a=512, num_vectors_v=512,
             use_audio_encoder=False, use_poster=False,
             # same head_dim 30 / T=512 shape that measured -36% on the
-            # flash kernels at the cmu-mosei preset (PERF.md round 4)
-            attention_impl="pallas",
+            # flash kernels at the cmu-mosei preset (PERF.md round 4);
+            # same memory shape too — without remat the trimodal T=512
+            # activations OOM one chip at batch 64 (measured round 5).
+            scan_layers=True, remat=True, attention_impl="pallas",
         ),
         data=DataConfig(task="cmu-mosi", task_type="classification",
                         audio_raw_len=512, video_len=512),

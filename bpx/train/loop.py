@@ -169,7 +169,9 @@ def train(exp: ExperimentConfig, data_all=None,
         model, mcfg.model, loss_fn, tx, grad_accum=accum,
         freeze_bert=mcfg.freeze_bert,
         accum_dtype=tcfg.accum_dtype,
-        accum_unroll=tcfg.accum_unroll), donate_argnums=(0,)), mesh)
+        accum_unroll=tcfg.accum_unroll,
+        accum_scan_unroll=tcfg.accum_scan_unroll),
+        donate_argnums=(0,)), mesh)
     # no device-side loss output: evaluate() recomputes it host-side over
     # the valid-sliced concatenation (wrap-padded rows excluded)
     eval_step = mesh_scoped(

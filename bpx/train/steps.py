@@ -84,7 +84,8 @@ def make_train_step(model, model_name: str, loss_fn: Callable,
                     donate: bool = True,
                     with_grad_norm: bool = False,
                     accum_dtype: Optional[str] = None,
-                    accum_unroll: bool = False):
+                    accum_unroll: bool = False,
+                    accum_scan_unroll: int = 1):
     """Build the (unjitted) train step; wrap with jit/shardings via
     :func:`jit_train_step`.
 
@@ -104,7 +105,16 @@ def make_train_step(model, model_name: str, loss_fn: Callable,
     accum-scan's inter-trip gaps measured ~129 ms of the 788 ms
     moviescope step (PERF.md round-4 re-trace) — this is the probe for
     that bucket.  Compile time and program size grow ~A-fold for the
-    accumulation region.
+    accumulation region.  Measured OOM at the moviescope bench config
+    (PERF.md round 5): without the scan's sequential trip boundary XLA
+    interleaves the micro-batch subgraphs and activation liveness grows
+    past HBM.
+
+    ``accum_scan_unroll`` is the bounded middle ground: ``lax.scan``'s
+    own ``unroll=k`` — the carry dependency chain stays sequential
+    (liveness bounded, unlike ``accum_unroll``) but each loop trip runs
+    k micro-batch bodies, so trip boundaries (and their dispatch/DMA
+    gaps) drop k-fold.
     """
 
     def micro_loss(params, micro_batch, dropout_rng):
@@ -166,7 +176,7 @@ def make_train_step(model, model_name: str, loss_fn: Callable,
                 lambda p: jnp.zeros(p.shape, acc_dt), state.params))
             (grads, loss_sum), _ = jax.lax.scan(
                 body, (zero_grads, jnp.zeros((), jnp.float32)),
-                (batch, keys))
+                (batch, keys), unroll=accum_scan_unroll)
             inv = 1.0 / grad_accum
             grads = jax.tree.map(
                 lambda g: g.astype(jnp.float32) * inv, grads)
@@ -247,13 +257,21 @@ def _place_opt_state(opt_state, p_sh, rep):
             pass
         return jax.device_put(node, rep)
 
-    # opt_state is a (possibly nested) tuple of states; handle two levels.
+    # opt_state is a (possibly nested) tuple of states; recurse through
+    # plain tuples AND NamedTuple fields.  The recursion (not a one-shot
+    # place() per field) matters: inject_hyperparams wraps the adam chain
+    # as InjectHyperparamsState.inner_state = (ScaleByAdamState, ...), a
+    # plain tuple whose whole-tree flatten never matches the param
+    # treedef — flattening it whole silently replicated the Adam moments
+    # on every chip (~2x param bytes of waste per chip under fsdp;
+    # caught by the round-5 per-chip memory report).
     if isinstance(opt_state, tuple) and not hasattr(opt_state, "_fields"):
         return tuple(_place_opt_state(s, p_sh, rep) for s in opt_state)
     if hasattr(opt_state, "_fields"):   # NamedTuple state (e.g. ScaleByAdam)
         placed = {}
         for name in opt_state._fields:
-            placed[name] = place(getattr(opt_state, name))
+            placed[name] = _place_opt_state(getattr(opt_state, name),
+                                            p_sh, rep)
         return opt_state._replace(**placed)
     return place(opt_state)
 

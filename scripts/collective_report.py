@@ -246,10 +246,17 @@ def compile_and_inventory(preset, batch, accum, data, fsdp, tensor):
             return p_sh
         return jax.tree.map(lambda _: rep, node)
 
-    # opt_state: walk the top-level tuple structure like _place_opt_state
+    # opt_state: mirror _place_opt_state exactly — recurse into plain
+    # tuples AND NamedTuple fields, so e.g. ScaleByAdamState.mu/.nu each
+    # match the param treedef and shard (flattening the NamedTuple whole
+    # never matches, which silently replicated the Adam moments and
+    # inflated per-chip argument bytes ~5x at fsdp=4 — caught round 5)
     def map_opt(node):
         if isinstance(node, tuple) and not hasattr(node, "_fields"):
             return tuple(map_opt(x) for x in node)
+        if hasattr(node, "_fields"):
+            return node._replace(**{name: map_opt(getattr(node, name))
+                                    for name in node._fields})
         return opt_sharding(node)
     state_sh = a_state.replace(step=rep, params=p_sh,
                                opt_state=map_opt(a_state.opt_state))
@@ -343,6 +350,14 @@ def main():
         looped = (flat if accum == 1 else
                   run_child(args.preset, args.batch, accum, data, fsdp,
                             tensor))
+        gib = 1 << 30
+        memory = {k.replace("_size_in_bytes", "_gib"): round(v / gib, 3)
+                  for k, v in looped.get("memory", {}).items()}
+        if all(k in memory for k in ("argument_gib", "temp_gib",
+                                     "alias_gib")):
+            memory["peak_estimate_gib"] = round(
+                memory["argument_gib"] + memory["temp_gib"]
+                - memory["alias_gib"], 3)
         result = {
             "preset": args.preset, "batch": args.batch,
             "mesh": {"data": data, "fsdp": fsdp, "tensor": tensor},
@@ -352,6 +367,9 @@ def main():
             "at_default_accum": summarize(looped["records"], accum),
             "loop_body_collectives": sum(
                 1 for r in looped["records"] if r["in_loop_body"]),
+            # per-chip memory of the GSPMD-partitioned program (CPU-
+            # backend layouts; argument bytes are partitioning facts)
+            "memory_per_chip": memory,
             "top": sorted(looped["records"], key=lambda r: -r["bytes"])[:8],
         }
         results.append(result)

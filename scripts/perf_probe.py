@@ -60,6 +60,9 @@ def main():
                         "With --infer: k forwards per dispatch, each "
                         "data-dependent on the previous (true device "
                         "latency, tunnel round-trip amortized)")
+    p.add_argument("--accum_scan_unroll", type=int, default=1,
+                   help="lax.scan unroll factor for the accumulation "
+                        "loop (sequential carry kept)")
     p.add_argument("--accum_unroll", type=int, default=None,
                    help="python-unroll the gradient-accumulation loop "
                         "instead of lax.scan (probes the accum-scan's "
@@ -191,9 +194,12 @@ def main():
     loss_fn = make_loss_fn(exp.data.task, exp.data.task_type, False)
     if args.accum_unroll is not None:
         over["accum_unroll"] = bool(args.accum_unroll)
+    if args.accum_scan_unroll != 1:
+        over["accum_scan_unroll"] = args.accum_scan_unroll
     inner = make_train_step(model, exp.model.model, loss_fn, tx,
                             grad_accum=A, accum_dtype=args.accum_dtype,
-                            accum_unroll=bool(args.accum_unroll))
+                            accum_unroll=bool(args.accum_unroll),
+                            accum_scan_unroll=args.accum_scan_unroll)
     if args.chain:
         step = jax.jit(bench.make_chained_step(inner, args.chain),
                        donate_argnums=(0,))

@@ -338,6 +338,17 @@ def test_accum_unroll_matches_scan():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
 
+    # lax.scan unroll=k (sequential carry, k bodies per trip) is the
+    # bounded-liveness variant of the same program — identical numerics
+    step = jax.jit(make_train_step(model, exp.model.model, loss_fn, tx,
+                                   grad_accum=2, accum_scan_unroll=2))
+    new_state, m = step(state, batch, rng)
+    assert abs(outs[False][1] - float(m["loss"])) < 1e-5
+    for a, b in zip(jax.tree.leaves(outs[False][0].params),
+                    jax.tree.leaves(new_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
 
 def test_config_json_round_trip():
     """config_from_dict must invert the config.json snapshot that
