@@ -152,7 +152,8 @@ def measure_tpu(exp, batch_size: int, steps: int = BENCH_STEPS,
     loss_fn = make_loss_fn(exp.data.task, exp.data.task_type, False)
     inner = make_train_step(model, exp.model.model, loss_fn, tx,
                             grad_accum=accum,
-                            accum_unroll=exp.train.accum_unroll)
+                            accum_unroll=exp.train.accum_unroll,
+                            accum_scan_unroll=exp.train.accum_scan_unroll)
     if chain:
         step = jax.jit(make_chained_step(inner, chain), donate_argnums=(0,))
     else:

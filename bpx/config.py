@@ -264,8 +264,10 @@ class TrainConfig:
     # time/HLO size for the accumulation region.
     accum_unroll: bool = False
     # lax.scan unroll factor for the accumulation loop: sequential carry
-    # kept (bounded liveness — full accum_unroll OOMs, PERF.md round 5)
-    # but k bodies per loop trip, dividing trip-boundary overhead by k.
+    # kept but k bodies per loop trip, dividing trip-boundary overhead
+    # by k.  Measured (PERF.md round 5): at the remat-free moviescope
+    # envelope even k=2 OOMs — the k bodies' activations go live
+    # together — so this only helps configs with remat/memory headroom.
     accum_scan_unroll: int = 1
 
     mesh: MeshConfig = field(default_factory=MeshConfig)

@@ -307,7 +307,7 @@ def compile_and_inventory(preset, batch, accum, data, fsdp, tensor):
             "accum": accum, "memory": memory}
 
 
-def run_child(preset, batch, accum, data, fsdp, tensor, timeout=3600):
+def run_child(preset, batch, accum, data, fsdp, tensor, timeout=10800):
     n = data * fsdp * tensor
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
