@@ -309,7 +309,8 @@ def test_bhtd_attention_matches_unsharded_under_mesh():
 
 @pytest.mark.slow
 def test_stress_mesh_topology_tiny():
-    """The dryrun_stress mesh (fsdp=4 x tensor=2, BASELINE.md config 5) on
+    """The dryrun_stress mesh (data=2 x fsdp=4 — the round-5 recommended
+    stress mesh, BASELINE.md config 5) on
     the stress preset's model *structure* at tiny dims: one sharded train
     step must match the single-device step numerically, not just produce a
     finite loss (a wrong-but-finite sharding passes a finite-only check —
@@ -364,8 +365,8 @@ def test_stress_mesh_topology_tiny():
     state1 = TrainState.create(params, tx)
     state1, m1 = jax.jit(step)(state1, batch, jax.random.PRNGKey(7))
 
-    mesh = make_mesh(MeshConfig(data=-1, fsdp=4, tensor=2))
-    assert dict(mesh.shape) == {"data": 1, "fsdp": 4, "tensor": 2}
+    mesh = make_mesh(MeshConfig(data=-1, fsdp=4, tensor=1))
+    assert dict(mesh.shape) == {"data": 2, "fsdp": 4, "tensor": 1}
     state8 = place_state(TrainState.create(params, tx), mesh)
     sharded_batch = place_batch(batch, mesh, has_accum_axis=True)
     state8, m8 = jax.jit(step)(state8, sharded_batch, jax.random.PRNGKey(7))
