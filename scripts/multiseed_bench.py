@@ -34,6 +34,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--seeds", type=int, default=5)
     p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--chain", type=int, default=10,
+                   help="steps per host round-trip for the device-time "
+                        "row (the ~29 ms tunnel round-trip would "
+                        "otherwise dominate these small steps)")
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--hidden", type=int, default=128)
@@ -65,15 +69,17 @@ def main():
         model=exp.model.replace(
             model="mmtrvat", hidden_sz=E, num_heads=4, layers=args.layers,
             orig_d_l=E, orig_d_v=48, orig_d_a=96,
-            num_vectors_l=args.seq, num_vectors_a=args.seq // 2,
-            num_vectors_v=args.seq // 2, use_poster=False,
+            # mmtrvat uses identity length adapters: all three stream
+            # lengths must match (ref mmtr.py:664-670).
+            num_vectors_l=args.seq, num_vectors_a=args.seq,
+            num_vectors_v=args.seq, use_poster=False,
             use_audio_encoder=False, attention_impl="xla",
             bert=dataclasses.replace(BertConfig.tiny(), hidden_size=E,
                                      num_heads=4, intermediate_size=4 * E),
             compute_dtype="bfloat16"),
         data=dataclasses.replace(
             exp.data, batch_sz=args.batch, max_seq_len=args.seq,
-            audio_raw_len=args.seq // 2, video_len=args.seq // 2))
+            audio_raw_len=args.seq, video_len=args.seq))
     mc = exp.model
 
     model = get_model(mc)
@@ -93,6 +99,26 @@ def main():
             times.append(time.perf_counter() - t0)
         return sorted(times)[len(times) // 2]
 
+    def timed_chained(fn, fetch, n):
+        """Per-step device time: args.chain steps per host round-trip.
+
+        At ~30-50 ms steps the per-step-sync protocol is dominated by the
+        measured ~29 ms tunnel round-trip (PERF.md "Measurement
+        integrity"); chaining k dispatches and fetching one scalar
+        exposes what a real seed sweep (which syncs per epoch, not per
+        step) would pay.
+        """
+        for _ in range(args.warmup):
+            fetch(fn())
+        times = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            for _ in range(args.chain):
+                out = fn()
+            fetch(out)
+            times.append((time.perf_counter() - t0) / args.chain)
+        return sorted(times)[len(times) // 2]
+
     # --- single seed ------------------------------------------------------
     params = model.init({"params": jax.random.PRNGKey(1)}, *inputs)["params"]
     state = TrainState.create(params, tx)
@@ -107,6 +133,7 @@ def main():
         return m["loss"]
 
     t_single = timed(run_single, lambda x: float(x), args.steps)
+    t_single_dev = timed_chained(run_single, lambda x: float(x), args.steps)
 
     # --- vmapped S seeds ---------------------------------------------------
     seeds = list(range(1, args.seeds + 1))
@@ -121,15 +148,19 @@ def main():
         return m["loss"]
 
     t_multi = timed(run_multi, lambda x: float(x[0]), args.steps)
+    t_multi_dev = timed_chained(run_multi, lambda x: float(x[0]), args.steps)
 
     print(json.dumps({
         "metric": "multiseed_speedup", "seeds": args.seeds,
         "hidden": E, "layers": args.layers, "batch": args.batch,
-        "seq": args.seq,
+        "seq": args.seq, "chain": args.chain,
         "t_single_ms": round(t_single * 1000, 2),
         "t_vmapped_ms": round(t_multi * 1000, 2),
         "sequential_cost_ms": round(args.seeds * t_single * 1000, 2),
-        "speedup": round(args.seeds * t_single / t_multi, 2)}))
+        "speedup": round(args.seeds * t_single / t_multi, 2),
+        "t_single_dev_ms": round(t_single_dev * 1000, 2),
+        "t_vmapped_dev_ms": round(t_multi_dev * 1000, 2),
+        "speedup_dev": round(args.seeds * t_single_dev / t_multi_dev, 2)}))
 
 
 if __name__ == "__main__":
